@@ -1,0 +1,87 @@
+"""Detector registry: one uniform functional API over all detector families.
+
+The reference ships five `nn.Module` detectors with a shared-but-unenforced
+`forward(y, phase, ...)` convention plus two functional "meta twin" clones
+(reference python_code/detectors/*; see README.md:47 noting the API was never
+unified).  Here a detector is a `DetectorSpec` binding pure functions:
+
+    init(key, cfg)            -> param pytree (None for parameterless VA)
+    score(params, y)          -> per-symbol metrics [words, T, n_classes]
+    detect(params, y, csi)    -> hard bits [words, T]
+
+Meta variants need no twin modules: `jax.grad` differentiates `score` w.r.t.
+the param pytree to any order (this removes reference components
+META_VNET/meta_vnet_detector.py and META_LSTM/meta_lstm_detector.py entirely).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from metaviterbinet_tpu.models import lstm, va, viterbinet
+
+
+@dataclass(frozen=True)
+class DetectorSpec:
+    name: str
+    trainable: bool
+    label_kind: Optional[str]      # 'states' | 'bits' | None
+    subsample_loss: bool           # reference select_batch subsampling in loss
+    meta: bool                     # offline training is MAML meta-training
+    init: Optional[Callable]       # (key, cfg) -> params
+    score: Optional[Callable]      # (params, y) -> [W, T, n_classes]
+    detect: Callable               # (params, y, h) -> [W, T] bits
+
+
+def _vnet_init(key, cfg):
+    return viterbinet.init_params(key, cfg.n_states)
+
+
+def _lstm_init(key, cfg):
+    return lstm.init_params(key)
+
+
+# Classical Viterbi: parameterless, full CSI via explicit taps h.
+# (reference detectors/VA/va_detector.py:13-100)
+VA = DetectorSpec(
+    name="va", trainable=False, label_kind=None, subsample_loss=False,
+    meta=False, init=None, score=None,
+    detect=lambda params, y, h: va.detect(y, h),
+)
+
+# ViterbiNet: DNN branch metrics + ACS (reference detectors/VNET/vnet_detector.py)
+VNET = DetectorSpec(
+    name="vnet", trainable=True, label_kind="states", subsample_loss=True,
+    meta=False, init=_vnet_init,
+    score=lambda params, y: viterbinet.score(params, y),
+    detect=lambda params, y, h: viterbinet.detect(params, y),
+)
+
+# Meta-ViterbiNet: same network, MAML offline training + online meta-adaptation
+# (reference trainers/META_VNET/metavnet_trainer.py)
+META_VNET = DetectorSpec(
+    name="meta_vnet", trainable=True, label_kind="states", subsample_loss=False,
+    meta=True, init=_vnet_init,
+    score=lambda params, y: viterbinet.score(params, y),
+    detect=lambda params, y, h: viterbinet.detect(params, y),
+)
+
+# Windowed LSTM (reference detectors/LSTM/lstm_detector.py)
+LSTM = DetectorSpec(
+    name="lstm", trainable=True, label_kind="bits", subsample_loss=True,
+    meta=False, init=_lstm_init,
+    score=lambda params, y: lstm.score(params, y),
+    detect=lambda params, y, h: lstm.detect(params, y),
+)
+
+# Meta-LSTM (reference trainers/META_LSTM/meta_lstm_trainer.py)
+META_LSTM = DetectorSpec(
+    name="meta_lstm", trainable=True, label_kind="bits", subsample_loss=False,
+    meta=True, init=_lstm_init,
+    score=lambda params, y: lstm.score(params, y),
+    detect=lambda params, y, h: lstm.detect(params, y),
+)
+
+DETECTORS = {d.name: d for d in (VA, VNET, META_VNET, LSTM, META_LSTM)}

@@ -1,0 +1,48 @@
+"""ViterbiNet: per-symbol DNN branch metrics plugged into the Viterbi ACS.
+
+Architecture parity with reference detectors/VNET/vnet_detector.py:27-33
+(1 -> 100 sigmoid -> 50 relu -> n_states), but as a pure param-pytree function.
+The meta variant needs no twin module (reference META_VNET): gradients w.r.t.
+params fall out of the functional form directly.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from metaviterbinet_tpu.ops.trellis import viterbi_decode
+
+HIDDEN1 = 100
+HIDDEN2 = 50
+
+
+def _linear_init(key, out_dim: int, in_dim: int):
+    """U(-sqrt(k), sqrt(k)) with k = 1/in_dim — same family as torch Linear."""
+    kw, kb = jax.random.split(key)
+    bound = (1.0 / in_dim) ** 0.5
+    w = jax.random.uniform(kw, (out_dim, in_dim), minval=-bound, maxval=bound)
+    b = jax.random.uniform(kb, (out_dim,), minval=-bound, maxval=bound)
+    return w, b
+
+
+def init_params(key, n_states: int):
+    k1, k2, k3 = jax.random.split(key, 3)
+    w1, b1 = _linear_init(k1, HIDDEN1, 1)
+    w2, b2 = _linear_init(k2, HIDDEN2, HIDDEN1)
+    w3, b3 = _linear_init(k3, n_states, HIDDEN2)
+    return {"w1": w1, "b1": b1, "w2": w2, "b2": b2, "w3": w3, "b3": b3}
+
+
+def score(params, y: jnp.ndarray) -> jnp.ndarray:
+    """Per-symbol state logits: y [words, T] -> [words, T, n_states]."""
+    x = y.reshape(-1, 1)
+    x = jax.nn.sigmoid(x @ params["w1"].T + params["b1"])
+    x = jax.nn.relu(x @ params["w2"].T + params["b2"])
+    logits = x @ params["w3"].T + params["b3"]
+    return logits.reshape(y.shape[0], y.shape[1], -1)
+
+
+def detect(params, y: jnp.ndarray) -> jnp.ndarray:
+    """Hard decode: ACS over negated logits (logits are max-good, ACS is min-sum;
+    reference vnet_detector.py:51-61)."""
+    return viterbi_decode(-score(params, y))

@@ -1,0 +1,56 @@
+"""Loss functions and minibatch subsampling.
+
+Parity notes:
+  - ViterbiNet trains with CE between per-symbol state logits and trellis
+    state labels (reference vnet_trainer.py:37-47); LSTM with CE between
+    per-symbol class logits and bit labels (lstm_trainer.py:30-40).
+  - `select_batch` reproduces the reference's index-proportional multinomial
+    subsampling without replacement (trainer.py:534-544), including the quirk
+    that index 0 is never selected (its weight is 0).
+  - Meta losses use all symbols, no subsampling (metavnet_trainer.py:41-50).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from metaviterbinet_tpu.ops.trellis import calculate_states
+
+
+def select_batch(key, n: int, batch_size: int) -> jnp.ndarray:
+    """Indices of a minibatch: multinomial over arange weights, no replacement."""
+    weights = jnp.arange(n, dtype=jnp.float32)
+    return jax.random.choice(key, n, shape=(batch_size,), replace=False,
+                             p=weights / jnp.sum(weights))
+
+
+def cross_entropy(logits, labels):
+    return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(logits, labels))
+
+
+def make_loss_fn(score_fn, label_kind: str, memory_length: int,
+                 subsample: bool, minibatch_size: int):
+    """Build loss(params, rx, tx, key) for a detector's score function.
+
+    label_kind: 'states' (ViterbiNet CE over trellis states) or 'bits'
+    (LSTM CE over bit classes). When `subsample`, a select_batch of symbols is
+    drawn per step (key required); otherwise all symbols contribute.
+    """
+
+    def loss_fn(params, rx, tx, key=None):
+        logits = score_fn(params, rx)
+        n_classes = logits.shape[-1]
+        flat_logits = logits.reshape(-1, n_classes)
+        if label_kind == "states":
+            labels = calculate_states(memory_length, tx)
+        elif label_kind == "bits":
+            labels = tx.reshape(-1).astype(jnp.int32)
+        else:
+            raise ValueError(f"unknown label kind {label_kind}")
+        if subsample:
+            idx = select_batch(key, flat_logits.shape[0], minibatch_size)
+            flat_logits, labels = flat_logits[idx], labels[idx]
+        return cross_entropy(flat_logits, labels)
+
+    return loss_fn

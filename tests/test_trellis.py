@@ -1,0 +1,103 @@
+"""Trellis primitives: golden tests vs explicit NumPy formulas."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metaviterbinet_tpu.ops.trellis import (
+    acs_step,
+    calculate_states,
+    transition_table,
+    viterbi_decode,
+    viterbi_decode_with_metrics,
+)
+from metaviterbinet_tpu.models import va
+from metaviterbinet_tpu.ops.modulation import bpsk_modulate
+from metaviterbinet_tpu.ops.channel import isi_awgn_transmit
+
+
+def test_transition_table_structure():
+    for n in (4, 8, 16, 32):
+        tt = transition_table(n)
+        assert tt.shape == (n, 2)
+        for s in range(n):
+            assert tt[s, 0] == (2 * s) % n
+            assert tt[s, 1] == (2 * s + 1) % n
+
+
+def test_acs_step_matches_explicit_gather():
+    rng = np.random.default_rng(0)
+    for n in (4, 16):
+        tt = transition_table(n)
+        in_prob = rng.normal(size=(7, n)).astype(np.float32)
+        branch = rng.normal(size=(7, n)).astype(np.float32)
+        # explicit min-sum over the predecessor gather
+        total = in_prob + branch
+        expected = total[:, tt].min(axis=-1)
+        got = np.asarray(acs_step(jnp.asarray(in_prob), jnp.asarray(branch)))
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_calculate_states_formula():
+    rng = np.random.default_rng(1)
+    L = 4
+    words = rng.integers(0, 2, size=(3, 10)).astype(np.float32)
+    got = np.asarray(calculate_states(L, jnp.asarray(words))).reshape(3, 10)
+    padded = np.concatenate([words, np.zeros((3, L))], axis=1)
+    for b in range(3):
+        for t in range(10):
+            expected = sum(int(padded[b, t + i]) * 2 ** i for i in range(L))
+            assert got[b, t] == expected
+
+
+def test_full_csi_viterbi_noiseless_recovers_bits():
+    """Property: on a noiseless ISI channel, full-CSI Viterbi is exact."""
+    rng = np.random.default_rng(2)
+    L, T, W = 4, 136, 8
+    bits = rng.integers(0, 2, size=(W, T)).astype(np.float32)
+    h = np.tile(np.exp(-0.2 * np.arange(L)), (W, 1)).astype(np.float32)
+    padded = np.concatenate([bits, np.zeros((W, L))], axis=1)
+    s = bpsk_modulate(padded)
+    # noiseless: very high SNR
+    key = jax.random.PRNGKey(0)
+    y = isi_awgn_transmit(jnp.asarray(s), jnp.asarray(h), 200.0, key, L)
+    decoded = np.asarray(va.detect(y, jnp.asarray(h)))
+    # reference quirk replicated: the zero-delay greedy readout emits the LSB
+    # of argmin over all-equal initial metrics at t=0, i.e. always bit 0
+    # (va_detector.py:91-93) — so exactness holds from t=1 on.
+    np.testing.assert_array_equal(decoded[:, 0], np.zeros(W))
+    np.testing.assert_array_equal(decoded[:, 1:], bits[:, 1:])
+
+
+def test_full_csi_viterbi_low_ber_at_10db():
+    rng = np.random.default_rng(3)
+    L, T, W = 4, 136, 64
+    bits = rng.integers(0, 2, size=(W, T)).astype(np.float32)
+    h = np.tile(np.exp(-0.2 * np.arange(L)), (W, 1)).astype(np.float32)
+    padded = np.concatenate([bits, np.zeros((W, L))], axis=1)
+    s = bpsk_modulate(padded)
+    y = isi_awgn_transmit(jnp.asarray(s), jnp.asarray(h), 10.0, jax.random.PRNGKey(1), L)
+    decoded = np.asarray(va.detect(y, jnp.asarray(h)))
+    ber = np.mean(decoded != bits)
+    assert ber < 0.03, f"BER {ber} too high for full-CSI VA at 10 dB"
+
+
+def test_chunked_decode_matches_sequential():
+    """Overlap-save property: chunked decode with warm-up == sequential decode."""
+    rng = np.random.default_rng(4)
+    L, T, W, overlap = 4, 256, 4, 32
+    bits = rng.integers(0, 2, size=(W, T)).astype(np.float32)
+    h = np.tile(np.exp(-0.2 * np.arange(L)), (W, 1)).astype(np.float32)
+    padded = np.concatenate([bits, np.zeros((W, L))], axis=1)
+    s = bpsk_modulate(padded)
+    y = isi_awgn_transmit(jnp.asarray(s), jnp.asarray(h), 12.0, jax.random.PRNGKey(2), L)
+    priors = va.branch_priors(y, jnp.asarray(h))
+    seq = np.asarray(viterbi_decode(priors))
+
+    # decode second half with a warm-up region starting from zero metrics
+    half = T // 2
+    chunk_priors = priors[:, half - overlap :]
+    chunk_bits, _ = viterbi_decode_with_metrics(
+        chunk_priors, jnp.zeros((W, 2 ** L), dtype=priors.dtype)
+    )
+    got = np.asarray(chunk_bits)[:, overlap:]
+    np.testing.assert_array_equal(got, seq[:, half:])
