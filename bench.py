@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Headline benchmark: decoded symbols/sec/chip for ViterbiNet detection
+(neural branch metrics + 16-state ACS, L=4 trellis).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "symbols/s", "vs_baseline": N}
+
+`vs_baseline` is the speedup over the CPU reference implementation: a
+torch float32 re-measurement of the reference's evaluation inner loop
+(vnet_detector.py:35-61 — batched MLP priors, then a per-symbol Python loop
+of gather-based add-compare-select over the word batch), run on this
+machine's CPU and cached in resources/baseline_cpu.json. The reference
+repo publishes no numbers (BASELINE.md), so the baseline is self-generated
+per BASELINE.json's protocol.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+BASELINE_CACHE = os.path.join(REPO, "resources", "baseline_cpu.json")
+
+# reference evaluation geometry: 300-word batches of 136-symbol codewords
+REF_WORDS, T, L = 300, 136, 4
+N_STATES = 2 ** L
+# TPU-side batch: many independent blocks in flight (the words axis is the
+# throughput axis; BASELINE.json's >=10x/chip target is at this granularity)
+TPU_WORDS = 4096
+
+
+def measure_cpu_reference() -> float:
+    """Reference-equivalent torch CPU decode throughput (symbols/s)."""
+    import torch
+
+    torch.manual_seed(0)
+    net = torch.nn.Sequential(
+        torch.nn.Linear(1, 100), torch.nn.Sigmoid(),
+        torch.nn.Linear(100, 50), torch.nn.ReLU(),
+        torch.nn.Linear(50, N_STATES),
+    )
+    s = torch.arange(N_STATES)
+    transition_table = torch.cat([(2 * s) % N_STATES, (2 * s + 1) % N_STATES]).reshape(
+        2, N_STATES).T  # [n_states, 2] predecessor states
+    y = torch.randn(REF_WORDS, T)
+
+    def run():
+        with torch.no_grad():
+            priors = -net(y.reshape(-1, 1)).reshape(REF_WORDS, T, N_STATES)
+            in_prob = torch.zeros(REF_WORDS, N_STATES)
+            out = torch.zeros(REF_WORDS, T)
+            for i in range(T):
+                out[:, i] = torch.argmin(in_prob, dim=1) % 2
+                trellis = (in_prob + priors[:, i])[:, transition_table]
+                in_prob, _ = torch.min(trellis, dim=2)
+            return out
+
+    run()  # warm-up
+    n_iters, t0 = 3, time.perf_counter()
+    for _ in range(n_iters):
+        run()
+    dt = (time.perf_counter() - t0) / n_iters
+    return REF_WORDS * T / dt
+
+
+def get_cpu_baseline() -> float:
+    if os.path.isfile(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["symbols_per_sec"]
+    value = measure_cpu_reference()
+    os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"symbols_per_sec": value,
+                   "what": "torch CPU reference-equivalent ViterbiNet decode "
+                           f"({REF_WORDS} words x {T} symbols, L={L})"}, f)
+    return value
+
+
+def measure_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from metaviterbinet_tpu.models import viterbinet
+
+    params = viterbinet.init_params(jax.random.PRNGKey(0), N_STATES)
+    rng = np.random.default_rng(0)
+    ys = [jnp.asarray(rng.normal(size=(TPU_WORDS, T)).astype(np.float32))
+          for _ in range(4)]
+
+    detect = jax.jit(viterbinet.detect)
+    detect(params, ys[0]).block_until_ready()  # compile
+    n_iters, t0 = 32, time.perf_counter()
+    for i in range(n_iters):
+        out = detect(params, ys[i % len(ys)])
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+    return TPU_WORDS * T / dt
+
+
+def main():
+    baseline = get_cpu_baseline()
+    value = measure_tpu()
+    print(json.dumps({
+        "metric": "viterbinet_decoded_symbols_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "symbols/s",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

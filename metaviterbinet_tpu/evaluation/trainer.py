@@ -1,0 +1,272 @@
+"""Trainer: orchestration engine binding a detector spec to data, training,
+checkpointing and the two evaluation protocols.
+
+One class replaces the reference's base-class-plus-five-subclasses tower
+(python_code/trainers/trainer.py:21-544 and the VA/VNET/META_VNET/LSTM/
+META_LSTM subclasses): with pure-functional detectors the subclass hooks
+(initialize_detector, calc_loss, online_training) collapse into a
+`DetectorSpec` plus loss/engine factories.
+
+Protocol parity:
+  - `evaluate()` dispatches on eval_mode 'aggregated' | 'by_word'
+    (trainer.py:368-381); by_word requires ECC (trainer.py:375-376).
+  - aggregated eval loads a checkpoint per SNR; by_word loads only
+    snr_range['val'][0] (trainer.py:249-251 vs :377).
+  - checkpoints keyed snr_{snr}_gamma_{gamma} with lazy train-on-miss on the
+    synthetic fading_taps_type=1 channel (trainer.py:513-532).
+  - SER is computed on non-pilot words only (trainer.py:99-102).
+"""
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metaviterbinet_tpu.config import Config
+from metaviterbinet_tpu.data.dataset import ChannelDataset
+from metaviterbinet_tpu.detectors import DETECTORS, DetectorSpec
+from metaviterbinet_tpu.ecc.rs import rs_decode_bits, rs_encode_bits
+from metaviterbinet_tpu.online.engine import make_online_engine
+from metaviterbinet_tpu.ops.channel import estimate_channel_batch
+from metaviterbinet_tpu.ops.metrics import error_rates
+from metaviterbinet_tpu.paths import WEIGHTS_DIR
+from metaviterbinet_tpu.train.checkpoint import load_params, save_params
+from metaviterbinet_tpu.train.losses import make_loss_fn
+from metaviterbinet_tpu.train.loop import make_word_sweep
+from metaviterbinet_tpu.train.meta import make_maml_step
+from metaviterbinet_tpu.train.optim import make_optimizer
+
+
+class Trainer:
+    def __init__(self, cfg: Config, detector: str | DetectorSpec,
+                 weights_dir: Optional[str] = None, verbose: bool = True):
+        self.cfg = cfg
+        self.spec = DETECTORS[detector] if isinstance(detector, str) else detector
+        self.verbose = verbose
+        self.weights_dir = weights_dir or cfg.weights_dir or os.path.join(
+            WEIGHTS_DIR, f"{self.spec.name}_{cfg.run_name}"
+        )
+        self.train_dataset = ChannelDataset(cfg, "train")
+        self.val_dataset = ChannelDataset(cfg, "val")
+        self._key = jax.random.PRNGKey(cfg.noise_seed + 1)
+        self.params: Any = None
+        if self.spec.trainable:
+            self.loss_fn = make_loss_fn(
+                self.spec.score, self.spec.label_kind, cfg.memory_length,
+                self.spec.subsample_loss, cfg.train_minibatch_size,
+            )
+            self.params = self.init_params()
+        else:
+            self.loss_fn = None
+        self._online_engine = None
+        self._detect_batch = jax.jit(self.spec.detect)
+
+    # ------------------------------------------------------------------ utils
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def init_params(self):
+        return self.spec.init(self._next_key(), self.cfg)
+
+    def _log(self, msg: str):
+        if self.verbose:
+            print(msg)
+
+    def _decoder_csi(self, n_words: int):
+        """Decoder-side channel taps for the full-CSI VA (va_detector.py:52-60):
+        tracks (or intentionally mis-tracks via fading_in_decoder /
+        noisy_est_var) the true channel trajectory."""
+        cfg = self.cfg
+        return estimate_channel_batch(
+            cfg.memory_length, cfg.gamma, jnp.arange(n_words),
+            channel_coefficients=cfg.channel_coefficients,
+            noisy_est_var=cfg.noisy_est_var,
+            fading=cfg.fading_in_decoder,
+            fading_taps_type=cfg.fading_taps_type,
+            noise_key=self._next_key() if cfg.noisy_est_var > 0 else None,
+        )
+
+    # ------------------------------------------------------------- evaluation
+    def single_eval_at_point(self, params, snr: float, gamma: float) -> float:
+        """Aggregated SER at one (snr, gamma): batch-detect all val words,
+        RS-decode, score non-pilot words (trainer.py:222-241)."""
+        cfg = self.cfg
+        tx, rx = self.val_dataset.get(snr, gamma)
+        h = self._decoder_csi(tx.shape[0])
+        detected = self._detect_batch(params, rx, h)
+        if cfg.use_ecc:
+            decoded, _ = rs_decode_bits(detected, cfg.n_symbols)
+        else:
+            decoded = detected
+        di = cfg.data_indices("val")
+        ser, fer, _ = error_rates(decoded[di], tx[di])
+        return float(ser)
+
+    def evaluate(self) -> np.ndarray:
+        """eval_mode dispatch (trainer.py:368-381). Returns the SER vector:
+        per-SNR for 'aggregated', per-block for 'by_word'."""
+        cfg = self.cfg
+        if cfg.eval_mode == "by_word":
+            if not cfg.use_ecc:
+                raise ValueError("Must run with ECC in by_word eval mode")
+            snr = float(cfg.snr_range("val")[0])
+            if self.spec.trainable:
+                self.params = self.load_weights(snr, cfg.gamma)
+            return self.eval_by_word(snr, cfg.gamma)
+        sers = []
+        for snr in cfg.snr_range("val"):
+            snr = float(snr)
+            if self.spec.trainable:
+                self.params = self.load_weights(snr, cfg.gamma)
+            t0 = time.time()
+            ser = self.single_eval_at_point(self.params, snr, cfg.gamma)
+            self._log(f"SNR {snr}: ser {ser:.6f} ({time.time() - t0:.1f}s)")
+            sers.append(ser)
+        return np.asarray(sers)
+
+    def eval_by_word(self, snr: float, gamma: float) -> np.ndarray:
+        """The online adaptation loop (trainer.py:267-354) — one fused
+        on-device program, zero host round-trips across the 300 blocks."""
+        cfg = self.cfg
+        if self._online_engine is None:
+            self._online_engine = make_online_engine(
+                cfg, self.spec.detect, self.loss_fn,
+                init_fn=(lambda k: self.spec.init(k, cfg)) if self.spec.trainable else None,
+            )
+        tx, rx = self.val_dataset.get(snr, gamma)
+        h = self._decoder_csi(tx.shape[0])
+        meta_init = None
+        if self.spec.trainable and cfg.weights_init == "meta_training":
+            meta_init = self.load_weights(float(cfg.snr_range("val")[0]), gamma)
+        init_rx = init_tx = None
+        if not cfg.buffer_empty:
+            # pre-fill with train-channel words; labels are the re-encoded
+            # true words (trainer.py:281-287)
+            btx, brx = self.train_dataset.get(snr, gamma)
+            init_rx = brx
+            init_tx = rs_encode_bits(btx, cfg.n_symbols).astype(brx.dtype) \
+                if cfg.use_ecc else btx.astype(brx.dtype)
+        t0 = time.time()
+        result = self._online_engine(
+            self.params, tx, rx, h, self._next_key(),
+            meta_init_params=meta_init,
+            init_buffer_rx=init_rx, init_buffer_tx=init_tx,
+        )
+        sers = np.asarray(result.ser_by_word)
+        self.params = result.params if self.spec.trainable else self.params
+        self._log(
+            f"by-word eval: mean ser {sers.mean():.6f} over {len(sers)} blocks "
+            f"({time.time() - t0:.1f}s, buffer fill {int(result.n_buffer)})"
+        )
+        return sers
+
+    # --------------------------------------------------------------- training
+    def train(self):
+        """Offline training over the train SNR range; keeps the best-SER
+        checkpoint per SNR (trainer.py:455-490 / meta_train :383-423)."""
+        if not self.spec.trainable:
+            raise NotImplementedError("no training implemented for this detector")
+        if self.spec.meta:
+            return self.meta_train()
+        cfg = self.cfg
+        optimizer = make_optimizer(cfg.optimizer_type, cfg.lr)
+        sweep = make_word_sweep(self.loss_fn, optimizer)
+        for snr in cfg.snr_range("train"):
+            snr = float(snr)
+            self._log(f"SNR - {snr}, Gamma - {cfg.gamma}")
+            params = self.init_params()
+            opt_state = optimizer.init(params)
+            best_ser = math.inf
+            for minibatch in range(1, cfg.train_minibatch_num + 1):
+                tx, rx = self.train_dataset.get(snr, cfg.gamma)
+                params, opt_state, loss = sweep(params, opt_state, rx, tx, self._next_key())
+                ser = self.single_eval_at_point(params, snr, cfg.gamma)
+                self._log(f"Minibatch {minibatch}, ser - {ser}, loss {float(loss):.3f}")
+                if ser < best_ser:
+                    self.save_weights(params, float(loss), snr, cfg.gamma)
+                    best_ser = ser
+            self._log(f"best ser - {best_ser}")
+        self.params = self.load_weights(float(cfg.snr_range("train")[-1]), cfg.gamma)
+        return self.params
+
+    def meta_train(self):
+        """Offline MAML meta-training (trainer.py:383-423): per minibatch,
+        draw random query indices, adapt on (support, query) pairs of
+        RS-coded words."""
+        cfg = self.cfg
+        optimizer = make_optimizer(cfg.optimizer_type, cfg.lr)
+        maml_step = make_maml_step(self.loss_fn, optimizer, cfg.meta_lr, cfg.MAML)
+        w = cfg.window_size
+        n_words = cfg.n_words("train")
+
+        @jax.jit
+        def run_pairs(params, opt_state, rx, tx_coded, j_hats):
+            def pair(carry, j):
+                params, opt_state = carry
+                supp = j + jnp.arange(-w, 0)
+                params, opt_state, loss = maml_step(
+                    params, opt_state,
+                    rx[supp], tx_coded[supp], rx[j[None]], tx_coded[j[None]],
+                )
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(pair, (params, opt_state), j_hats)
+            return params, opt_state, jnp.mean(losses)
+
+        for snr in cfg.snr_range("train"):
+            snr = float(snr)
+            self._log(f"SNR - {snr}, Gamma - {cfg.gamma} (meta)")
+            params = self.init_params()
+            opt_state = optimizer.init(params)
+            best_loss = math.inf
+            for minibatch in range(1, cfg.train_minibatch_num + 1):
+                tx, rx = self.train_dataset.get(snr, cfg.gamma)
+                tx_coded = rs_encode_bits(tx, cfg.n_symbols).astype(rx.dtype) \
+                    if cfg.use_ecc else tx
+                # j_hat ~ unique(randint(window_size, n_words, [meta_j_num]))
+                # (trainer.py:404-406); duplicates just repeat a step
+                j_hats = jax.random.randint(
+                    self._next_key(), (cfg.meta_j_num,), w, n_words
+                )
+                params, opt_state, loss = run_pairs(params, opt_state, rx, tx_coded, j_hats)
+                ser = self.single_eval_at_point(params, snr, cfg.gamma)
+                self._log(f"Minibatch {minibatch}, ser - {ser}, loss {float(loss):.4f}")
+                if float(loss) < best_loss:
+                    self.save_weights(params, float(loss), snr, cfg.gamma)
+                    best_loss = float(loss)
+        self.params = self.load_weights(float(cfg.snr_range("train")[-1]), cfg.gamma)
+        return self.params
+
+    # ------------------------------------------------------------ checkpoints
+    def save_weights(self, params, loss: float, snr: float, gamma: float):
+        save_params(self.weights_dir, snr, gamma, params, loss)
+
+    def load_weights(self, snr: float, gamma: float):
+        """Load the (snr, gamma) checkpoint; on miss, train on the synthetic
+        type-1 fading channel first (trainer.py:513-532)."""
+        template = self.params if self.params is not None else self.init_params()
+        restored = load_params(self.weights_dir, snr, gamma, template)
+        if restored is not None:
+            return restored
+        self._log(f"No checkpoint for snr {snr} gamma {gamma} — training on miss")
+        orig_type = self.cfg.fading_taps_type
+        orig_train_ds = self.train_dataset
+        try:
+            self.cfg = self.cfg.replace(fading_taps_type=1)
+            self.train_dataset = ChannelDataset(self.cfg, "train")
+            self.train()
+        finally:
+            self.cfg = self.cfg.replace(fading_taps_type=orig_type)
+            self.train_dataset = orig_train_ds
+        restored = load_params(self.weights_dir, snr, gamma, template)
+        if restored is None:
+            raise FileNotFoundError(
+                f"training did not produce a checkpoint for snr {snr} gamma {gamma}"
+            )
+        return restored

@@ -48,9 +48,15 @@ def make_loss_fn(score_fn, label_kind: str, memory_length: int,
             labels = tx.reshape(-1).astype(jnp.int32)
         else:
             raise ValueError(f"unknown label kind {label_kind}")
+        # tx may be the 120-bit info word while logits span the 136-symbol
+        # codeword: the reference samples indices over the LABEL count and
+        # indexes both (trainer.py:542-544 via vnet_trainer.py:45), so symbols
+        # past the label range never contribute to the loss.
         if subsample:
-            idx = select_batch(key, flat_logits.shape[0], minibatch_size)
+            idx = select_batch(key, labels.shape[0], minibatch_size)
             flat_logits, labels = flat_logits[idx], labels[idx]
+        else:
+            flat_logits = flat_logits[: labels.shape[0]]
         return cross_entropy(flat_logits, labels)
 
     return loss_fn

@@ -1,0 +1,112 @@
+"""Online adaptation engine: semantics on a tiny config (CPU-friendly)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metaviterbinet_tpu.config import Config
+from metaviterbinet_tpu.data.dataset import ChannelDataset
+from metaviterbinet_tpu.detectors import DETECTORS
+from metaviterbinet_tpu.ecc.rs import rs_decode_bits
+from metaviterbinet_tpu.models import viterbinet
+from metaviterbinet_tpu.online.engine import make_online_engine
+from metaviterbinet_tpu.ops.channel import estimate_channel_batch
+from metaviterbinet_tpu.train.losses import make_loss_fn
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        val_block_length=24, train_block_length=24, n_symbols=1,
+        val_frames=2, subframes_in_frame=5, train_frames=2,
+        self_supervised_iterations=3, meta_train_iterations=2, meta_j_num=2,
+        meta_subframes=3, buffer_capacity=16, train_minibatch_size=8,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def make_inputs(cfg, snr=10.0):
+    ds = ChannelDataset(cfg, "val")
+    tx, rx = ds.get(snr, cfg.gamma)
+    h = estimate_channel_batch(
+        cfg.memory_length, cfg.gamma, jnp.arange(tx.shape[0]),
+        fading=cfg.fading_in_decoder, fading_taps_type=cfg.fading_taps_type,
+    )
+    return tx, rx, h
+
+
+def test_va_static_engine_matches_batch_detection():
+    """With no adaptation, the per-word loop must equal batch detection."""
+    cfg = tiny_cfg()
+    tx, rx, h = make_inputs(cfg)
+    engine = make_online_engine(cfg, DETECTORS["va"].detect, None)
+    result = engine(None, tx, rx, h, jax.random.PRNGKey(0))
+    # manual: batch detect + decode + per-word ser, pilots = 0
+    detected = DETECTORS["va"].detect(None, rx, h)
+    decoded, _ = rs_decode_bits(detected, cfg.n_symbols)
+    per_word = np.mean(np.asarray(decoded) != np.asarray(tx), axis=1)
+    expected = np.where(np.arange(tx.shape[0]) % cfg.subframes_in_frame == 0, 0.0, per_word)
+    np.testing.assert_allclose(np.asarray(result.ser_by_word), expected, atol=1e-6)
+
+
+def test_self_supervised_changes_params_only_when_gated():
+    """SS steps run only on confident words; params must change iff some word
+    passed the gate."""
+    cfg = tiny_cfg(self_supervised=True, ser_thresh=0.02)
+    tx, rx, h = make_inputs(cfg, snr=12.0)
+    spec = DETECTORS["vnet"]
+    loss_fn = make_loss_fn(spec.score, "states", cfg.memory_length, True, 8)
+    engine = make_online_engine(cfg, spec.detect, loss_fn)
+    params = viterbinet.init_params(jax.random.PRNGKey(1), cfg.n_states)
+    result = engine(params, tx, rx, h, jax.random.PRNGKey(2))
+    # untrained detector at 12 dB fails the 2% gate on data words, but pilots
+    # always pass (ser = 0) -> buffer fills with pilots and params adapt
+    assert int(result.n_buffer) >= tx.shape[0] // cfg.subframes_in_frame
+    changed = jax.tree_util.tree_map(
+        lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)), params, result.params
+    )
+    assert any(jax.tree_util.tree_leaves(changed))
+
+    # with an impossible threshold, nothing passes except pilots
+    cfg0 = tiny_cfg(self_supervised=True, ser_thresh=-1.0)
+    engine0 = make_online_engine(cfg0, spec.detect, loss_fn)
+    r0 = engine0(params, tx, rx, h, jax.random.PRNGKey(2))
+    assert int(r0.n_buffer) == 0
+    same = jax.tree_util.tree_map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)), params, r0.params
+    )
+    assert all(jax.tree_util.tree_leaves(same))
+
+
+def test_meta_engine_runs_and_adapts():
+    cfg = tiny_cfg(self_supervised=True, online_meta=True, ser_thresh=1.0,
+                   weights_init="last_frame")
+    tx, rx, h = make_inputs(cfg)
+    spec = DETECTORS["meta_vnet"]
+    loss_fn = make_loss_fn(spec.score, "states", cfg.memory_length, False, 8)
+    engine = make_online_engine(
+        cfg, spec.detect, loss_fn,
+        init_fn=lambda k: viterbinet.init_params(k, cfg.n_states),
+    )
+    params = viterbinet.init_params(jax.random.PRNGKey(1), cfg.n_states)
+    result = engine(params, tx, rx, h, jax.random.PRNGKey(2))
+    assert result.ser_by_word.shape == (tx.shape[0],)
+    assert int(result.n_buffer) == tx.shape[0]  # thresh 1.0: everything passes
+    assert np.all(np.isfinite(np.asarray(result.ser_by_word)))
+
+
+def test_prefilled_ring_buffer():
+    """buffer_empty=False: buffer starts full and keeps fixed length."""
+    cfg = tiny_cfg(self_supervised=True, ser_thresh=1.0, buffer_empty=False,
+                   buffer_capacity=32)
+    tx, rx, h = make_inputs(cfg)
+    spec = DETECTORS["vnet"]
+    loss_fn = make_loss_fn(spec.score, "states", cfg.memory_length, True, 8)
+    engine = make_online_engine(cfg, spec.detect, loss_fn)
+    params = viterbinet.init_params(jax.random.PRNGKey(1), cfg.n_states)
+    n0 = tx.shape[0]
+    result = engine(
+        params, tx, rx, h, jax.random.PRNGKey(2),
+        init_buffer_rx=rx, init_buffer_tx=rx,  # shapes are what matter here
+    )
+    assert int(result.n_buffer) == n0  # ring: fill never changes

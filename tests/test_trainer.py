@@ -1,0 +1,67 @@
+"""Trainer orchestration: train improves SER; both eval protocols run."""
+import numpy as np
+import pytest
+
+from metaviterbinet_tpu.config import Config
+from metaviterbinet_tpu.evaluation.trainer import Trainer
+
+
+def tiny_cfg(tmp_path, **kw):
+    base = dict(
+        val_block_length=24, train_block_length=24, n_symbols=1,
+        val_frames=2, subframes_in_frame=5, train_frames=2,
+        train_minibatch_num=3, train_minibatch_size=8,
+        self_supervised_iterations=3, meta_train_iterations=2, meta_j_num=2,
+        meta_subframes=3, buffer_capacity=16,
+        weights_dir=str(tmp_path / "weights"),
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_va_aggregated_eval(tmp_path):
+    cfg = tiny_cfg(tmp_path, val_SNR_start=8.0, val_SNR_end=10.0)
+    t = Trainer(cfg, "va", verbose=False)
+    sers = t.evaluate()
+    assert sers.shape == (3,)
+    assert sers[0] >= sers[-1] - 0.02  # higher SNR should not be much worse
+
+
+def test_vnet_train_improves_and_checkpoints(tmp_path):
+    # untrained ViterbiNet is chance (SER ~0.5 +- sampling noise); training on
+    # this tiny config must pull clearly below chance
+    cfg = tiny_cfg(tmp_path, train_frames=4, train_minibatch_num=8)
+    t = Trainer(cfg, "vnet", verbose=False)
+    t.train()
+    ser_trained = t.single_eval_at_point(t.params, 10.0, cfg.gamma)
+    assert ser_trained < 0.35, ser_trained
+    # checkpoint round-trip: a fresh trainer loads without retraining
+    t2 = Trainer(cfg, "vnet", verbose=False)
+    restored = t2.load_weights(10.0, cfg.gamma)
+    ser_restored = t2.single_eval_at_point(restored, 10.0, cfg.gamma)
+    # same weights, same protocol -> statistically close SER
+    assert abs(ser_restored - ser_trained) < 0.1
+
+
+def test_vnet_by_word_eval_runs(tmp_path):
+    cfg = tiny_cfg(tmp_path, eval_mode="by_word", self_supervised=True)
+    t = Trainer(cfg, "vnet", verbose=False)
+    t.train()
+    sers = t.evaluate()
+    assert sers.shape == (cfg.n_words("val"),)
+    assert np.all(np.isfinite(sers))
+
+
+def test_meta_vnet_meta_train_runs(tmp_path):
+    cfg = tiny_cfg(tmp_path)
+    t = Trainer(cfg, "meta_vnet", verbose=False)
+    t.train()  # dispatches to meta_train
+    ser = t.single_eval_at_point(t.params, 10.0, cfg.gamma)
+    assert np.isfinite(ser)
+
+
+def test_by_word_requires_ecc(tmp_path):
+    cfg = tiny_cfg(tmp_path, eval_mode="by_word", use_ecc=False)
+    t = Trainer(cfg, "va", verbose=False)
+    with pytest.raises(ValueError, match="ECC"):
+        t.evaluate()
