@@ -1,0 +1,164 @@
+"""Pallas TPU kernels: fused neural-metric + add-compare-select Viterbi.
+
+N1/N2 of the component inventory (SURVEY.md §2b). The reference's hot loop is
+a per-symbol Python loop over `acs_block` (vnet_detector.py:53-59,
+va_detector.py:91-97); here the T-step recursion runs entirely in VMEM with
+the branch-metric MLP on the MXU.
+
+Layout: **words on lanes, states/features on sublanes** — the kernel-wide
+transpose that makes every step a native TPU op:
+  - per-symbol metric MLP: h1 = sigmoid(w1 ⊗ y_t) is a [H1, 128] broadcast,
+    then [H2,H1]@[H1,128] and [S,H2]@[H2,128] MXU matmuls in bf16 with f32
+    accumulation;
+  - ACS pairwise-min (predecessors of s are 2s, 2s+1 mod n):
+    min(total, roll(total, -1, axis=0)) — a sublane roll — followed by a
+    [S,S]@[S,128] 0/1 selection matmul routing sublane 2s' mod S to s'
+    (Mosaic cannot lower minor-dim reshapes or gathers; the MXU can route);
+  - greedy zero-delay bit readout (argmin % 2, reference va_detector.py:93):
+    masked sublane-min reductions, tie broken toward the even state to match
+    argmin's first-min semantics.
+
+Wrappers take/return the standard [W, T] / [W, T, S] layouts and transpose
+at the boundary (XLA copies, cheap relative to the kernel body).
+
+Honest positioning (measured on TPU v5e): for the reference geometry (L=4,
+16 states) XLA already compiles the fused `lax.scan` detect near the bf16
+speed of light of the metric MLP; this kernel is the explicit-control
+variant and the path that scales to larger state counts.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE_W = 128  # words per tile (lane dimension)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _route_matrix(n_states: int) -> np.ndarray:
+    """[S, S] 0/1 matrix L with L[s', 2s' mod S] = 1: new = L @ m_all."""
+    m = np.zeros((n_states, n_states), np.float32)
+    for s in range(n_states):
+        m[s, (2 * s) % n_states] = 1.0
+    return m
+
+
+def _acs_step(in_prob, prior_t, route, even_mask):
+    """One ACS stage in [S, 128] layout. Returns (bit_row [1,128], new metrics)."""
+    inf = jnp.float32(jnp.inf)
+    even_min = jnp.min(jnp.where(even_mask, in_prob, inf), axis=0, keepdims=True)
+    odd_min = jnp.min(jnp.where(even_mask, inf, in_prob), axis=0, keepdims=True)
+    bit = (odd_min < even_min).astype(jnp.float32)  # [1, 128]
+    total = in_prob + prior_t
+    # roll by S-1 == roll by -1 (pltpu.roll requires non-negative shifts):
+    # row s pairs with row (s+1) mod S
+    m_all = jnp.minimum(total, pltpu.roll(total, total.shape[0] - 1, 0))
+    # HIGHEST: the routing matmul must not round path metrics (default MXU
+    # precision is bf16, which flips near-tie argmin decisions)
+    new = jnp.dot(route, m_all, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    new = new - jnp.min(new, axis=0, keepdims=True)
+    return bit, new
+
+
+def _detect_kernel(y_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                   route_ref, out_ref, *, n_states: int, T: int):
+    # y_ref: [T, 128] — symbols on sublanes, words on lanes
+    w1 = w1_ref[:]              # [H1, 1]
+    b1 = b1_ref[:]              # [H1, 1]
+    w2 = w2_ref[:].astype(jnp.bfloat16)  # [H2, H1]
+    b2 = b2_ref[:]              # [H2, 1]
+    w3 = w3_ref[:].astype(jnp.bfloat16)  # [S, H2]
+    b3 = b3_ref[:]              # [S, 1]
+    route = route_ref[:]
+    even_mask = (jax.lax.broadcasted_iota(jnp.int32, (n_states, LANE_W), 0) % 2) == 0
+
+    in_prob = jnp.zeros((n_states, LANE_W), jnp.float32)
+    rows = []
+    for t in range(T):
+        y_t = y_ref[t:t + 1, :]                       # [1, 128]
+        h1 = jax.nn.sigmoid(w1 * y_t + b1)            # [H1, 128] broadcast
+        h2 = jax.nn.relu(
+            jnp.dot(w2, h1.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) + b2
+        )                                              # [H2, 128]
+        logits = jnp.dot(w3, h2.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32) + b3  # [S, 128]
+        bit, in_prob = _acs_step(in_prob, -logits, route, even_mask)
+        rows.append(bit)
+    out_ref[:] = jnp.concatenate(rows, axis=0)         # [T, 128]
+
+
+def _col(v):
+    return v.reshape(-1, 1)
+
+
+def fused_viterbinet_detect(params, y):
+    """ViterbiNet hard decode via the fused Pallas kernel.
+
+    params: viterbinet param pytree; y: [W, T] with W % 128 == 0
+    (pad the words axis upstream if needed). Returns [W, T] bits.
+    """
+    W, T = y.shape
+    n_states = params["w3"].shape[0]
+    if W % LANE_W != 0:
+        raise ValueError(f"W={W} must be a multiple of {LANE_W}")
+    kernel = functools.partial(_detect_kernel, n_states=n_states, T=T)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(W // LANE_W,),
+        in_specs=[
+            pl.BlockSpec((T, LANE_W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            vmem, vmem, vmem, vmem, vmem, vmem, vmem,
+        ],
+        out_specs=pl.BlockSpec((T, LANE_W), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, W), jnp.float32),
+        interpret=_interpret(),
+    )(y.T, params["w1"], _col(params["b1"]), params["w2"], _col(params["b2"]),
+      params["w3"], _col(params["b3"]), jnp.asarray(_route_matrix(n_states)))
+    return out.T
+
+
+def _decode_kernel(priors_ref, route_ref, out_ref, *, n_states: int, T: int):
+    route = route_ref[:]
+    even_mask = (jax.lax.broadcasted_iota(jnp.int32, (n_states, LANE_W), 0) % 2) == 0
+    in_prob = jnp.zeros((n_states, LANE_W), jnp.float32)
+    rows = []
+    for t in range(T):
+        bit, in_prob = _acs_step(in_prob, priors_ref[t], route, even_mask)
+        rows.append(bit)
+    out_ref[:] = jnp.concatenate(rows, axis=0)
+
+
+def pallas_viterbi_decode(priors):
+    """Greedy zero-delay Viterbi decode of precomputed branch metrics.
+
+    priors: [W, T, S] with W % 128 == 0. Bit-identical to
+    ops.trellis.viterbi_decode.
+    """
+    W, T, S = priors.shape
+    if W % LANE_W != 0:
+        raise ValueError(f"W={W} must be a multiple of {LANE_W}")
+    kernel = functools.partial(_decode_kernel, n_states=S, T=T)
+    out = pl.pallas_call(
+        kernel,
+        grid=(W // LANE_W,),
+        in_specs=[pl.BlockSpec((T, S, LANE_W), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((T, LANE_W), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, W), jnp.float32),
+        interpret=_interpret(),
+    )(jnp.transpose(priors, (1, 2, 0)), jnp.asarray(_route_matrix(S)))
+    return out.T

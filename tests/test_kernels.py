@@ -1,0 +1,55 @@
+"""Pallas kernel equivalence tests (interpret mode on CPU; the same
+assertions hold compiled on TPU — verified on hardware, see kernels/acs.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metaviterbinet_tpu.kernels.acs import (
+    fused_viterbinet_detect,
+    pallas_viterbi_decode,
+    _route_matrix,
+)
+from metaviterbinet_tpu.models import viterbinet
+from metaviterbinet_tpu.ops.trellis import transition_table, viterbi_decode
+
+
+def test_route_matrix_encodes_predecessor_pairs():
+    for S in (4, 16, 64):
+        route = _route_matrix(S)
+        tt = transition_table(S)
+        # after min(total, roll(total,-1)), lane 2s' holds min over the
+        # predecessor pair {2s', 2s'+1}; route must pick lane 2s' mod S
+        for s in range(S):
+            assert route[s, tt[s, 0]] == 1.0
+            assert route[s].sum() == 1.0
+
+
+@pytest.mark.parametrize("S", [16, 64])
+def test_pallas_decode_bit_identical(S):
+    rng = np.random.default_rng(0)
+    W, T = 128, 48
+    priors = jnp.asarray(rng.normal(size=(W, T, S)).astype(np.float32))
+    ref = np.asarray(viterbi_decode(priors))
+    got = np.asarray(pallas_viterbi_decode(priors))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fused_detect_matches_xla_path():
+    rng = np.random.default_rng(1)
+    W, T, S = 128, 48, 16
+    params = viterbinet.init_params(jax.random.PRNGKey(0), S)
+    y = jnp.asarray(rng.normal(size=(W, T)).astype(np.float32))
+    ref = np.asarray(viterbinet.detect(params, y))
+    got = np.asarray(fused_viterbinet_detect(params, y))
+    # the kernel runs the metric MLP in bf16 (as XLA does on TPU, but with
+    # different rounding on CPU interpret): allow rare near-tie bit flips
+    assert np.mean(ref != got) < 1e-3
+
+
+def test_shape_validation():
+    params = viterbinet.init_params(jax.random.PRNGKey(0), 16)
+    with pytest.raises(ValueError, match="multiple"):
+        fused_viterbinet_detect(params, jnp.zeros((100, 48)))
+    with pytest.raises(ValueError, match="multiple"):
+        pallas_viterbi_decode(jnp.zeros((100, 48, 16)))
