@@ -91,12 +91,16 @@ def measure_tpu() -> float:
     ys = [jnp.asarray(rng.normal(size=(TPU_WORDS, T)).astype(np.float32))
           for _ in range(4)]
 
-    detect = jax.jit(viterbinet.detect)
-    detect(params, ys[0]).block_until_ready()  # compile
+    # NOTE: jax.block_until_ready does not reliably block under the axon
+    # remote backend; force completion by pulling a scalar reduction to the
+    # host (device execution is in-order, so the last result arriving
+    # implies the whole chain ran).
+    detect = jax.jit(lambda p, y: jnp.sum(viterbinet.detect(p, y)))
+    float(detect(params, ys[0]))  # compile + sync
     n_iters, t0 = 32, time.perf_counter()
     for i in range(n_iters):
         out = detect(params, ys[i % len(ys)])
-    out.block_until_ready()
+    float(out)
     dt = (time.perf_counter() - t0) / n_iters
     return TPU_WORDS * T / dt
 
