@@ -65,3 +65,16 @@ def test_by_word_requires_ecc(tmp_path):
     t = Trainer(cfg, "va", verbose=False)
     with pytest.raises(ValueError, match="ECC"):
         t.evaluate()
+
+
+def test_meta_lstm_full_path(tmp_path):
+    """Offline MAML meta-training + by-word online meta-adaptation for the
+    LSTM family — the heaviest compile path (double-grad through the
+    recurrent scan)."""
+    cfg = tiny_cfg(tmp_path, train_minibatch_num=2, self_supervised=True,
+                   online_meta=True, eval_mode="by_word", ser_thresh=1.0)
+    t = Trainer(cfg, "meta_lstm", verbose=False)
+    t.train()
+    sers = t.evaluate()
+    assert sers.shape == (cfg.n_words("val"),)
+    assert np.all(np.isfinite(sers))
