@@ -44,10 +44,12 @@ from metaviterbinet_tpu.train.optim import make_optimizer
 
 class Trainer:
     def __init__(self, cfg: Config, detector: str | DetectorSpec,
-                 weights_dir: Optional[str] = None, verbose: bool = True):
+                 weights_dir: Optional[str] = None, verbose: bool = True,
+                 metrics=None):
         self.cfg = cfg
         self.spec = DETECTORS[detector] if isinstance(detector, str) else detector
         self.verbose = verbose
+        self.metrics = metrics  # optional utils.logging.MetricsLogger
         self.weights_dir = weights_dir or cfg.weights_dir or os.path.join(
             WEIGHTS_DIR, f"{self.spec.name}_{cfg.run_name}"
         )
@@ -77,6 +79,10 @@ class Trainer:
     def _log(self, msg: str):
         if self.verbose:
             print(msg)
+
+    def _metric(self, event: str, **kw):
+        if self.metrics is not None:
+            self.metrics.log(event, detector=self.spec.name, **kw)
 
     def _decoder_csi(self, n_words: int):
         """Decoder-side channel taps for the full-CSI VA (va_detector.py:52-60):
@@ -127,6 +133,8 @@ class Trainer:
             t0 = time.time()
             ser = self.single_eval_at_point(self.params, snr, cfg.gamma)
             self._log(f"SNR {snr}: ser {ser:.6f} ({time.time() - t0:.1f}s)")
+            self._metric("eval_point", snr=snr, ser=ser,
+                         elapsed_s=time.time() - t0)
             sers.append(ser)
         return np.asarray(sers)
 
@@ -164,6 +172,9 @@ class Trainer:
             f"by-word eval: mean ser {sers.mean():.6f} over {len(sers)} blocks "
             f"({time.time() - t0:.1f}s, buffer fill {int(result.n_buffer)})"
         )
+        self._metric("by_word_eval", snr=snr, mean_ser=float(sers.mean()),
+                     n_blocks=len(sers), buffer_fill=int(result.n_buffer),
+                     elapsed_s=time.time() - t0)
         return sers
 
     # --------------------------------------------------------------- training
@@ -188,6 +199,8 @@ class Trainer:
                 params, opt_state, loss = sweep(params, opt_state, rx, tx, self._next_key())
                 ser = self.single_eval_at_point(params, snr, cfg.gamma)
                 self._log(f"Minibatch {minibatch}, ser - {ser}, loss {float(loss):.3f}")
+                self._metric("train_minibatch", snr=snr, minibatch=minibatch,
+                             ser=ser, loss=float(loss))
                 if ser < best_ser:
                     self.save_weights(params, float(loss), snr, cfg.gamma)
                     best_ser = ser
@@ -237,6 +250,8 @@ class Trainer:
                 params, opt_state, loss = run_pairs(params, opt_state, rx, tx_coded, j_hats)
                 ser = self.single_eval_at_point(params, snr, cfg.gamma)
                 self._log(f"Minibatch {minibatch}, ser - {ser}, loss {float(loss):.4f}")
+                self._metric("meta_train_minibatch", snr=snr, minibatch=minibatch,
+                             ser=ser, loss=float(loss))
                 if float(loss) < best_loss:
                     self.save_weights(params, float(loss), snr, cfg.gamma)
                     best_loss = float(loss)
