@@ -110,3 +110,30 @@ def test_prefilled_ring_buffer():
         init_buffer_rx=rx, init_buffer_tx=rx,  # shapes are what matter here
     )
     assert int(result.n_buffer) == n0  # ring: fill never changes
+
+
+def test_weights_init_policies():
+    """'random' re-initializes before each meta adaptation; 'meta_training'
+    restores the provided checkpoint params (trainer.py:356-366)."""
+    cfg = tiny_cfg(self_supervised=False, online_meta=True, ser_thresh=1.0,
+                   weights_init="random", meta_subframes=3)
+    tx, rx, h = make_inputs(cfg)
+    spec = DETECTORS["meta_vnet"]
+    loss_fn = make_loss_fn(spec.score, "states", cfg.memory_length, False, 8)
+    engine = make_online_engine(
+        cfg, spec.detect, loss_fn,
+        init_fn=lambda k: viterbinet.init_params(k, cfg.n_states),
+    )
+    params = viterbinet.init_params(jax.random.PRNGKey(1), cfg.n_states)
+    r = engine(params, tx, rx, h, jax.random.PRNGKey(2))
+    assert np.all(np.isfinite(np.asarray(r.ser_by_word)))
+
+    cfg2 = cfg.replace(weights_init="meta_training")
+    engine2 = make_online_engine(
+        cfg2, spec.detect, loss_fn,
+        init_fn=lambda k: viterbinet.init_params(k, cfg.n_states),
+    )
+    meta_init = viterbinet.init_params(jax.random.PRNGKey(9), cfg.n_states)
+    r2 = engine2(params, tx, rx, h, jax.random.PRNGKey(2),
+                 meta_init_params=meta_init)
+    assert np.all(np.isfinite(np.asarray(r2.ser_by_word)))
