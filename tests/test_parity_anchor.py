@@ -1,0 +1,39 @@
+"""Statistical parity anchors against the recorded reference baselines.
+
+The numbers in resources/reference_baselines.json were measured by running
+the PyTorch reference itself (scripts/parity_campaign.py). These tests pin
+our chain to those values within generous statistical bands — they catch
+regressions in the modulation/channel/detection/ECC chain, not RNG-level
+equality (streams differ by design).
+"""
+import json
+import os
+
+import numpy as np
+
+from metaviterbinet_tpu.config import Config
+from metaviterbinet_tpu.evaluation.trainer import Trainer
+from metaviterbinet_tpu.paths import RESOURCES_DIR
+
+with open(os.path.join(RESOURCES_DIR, "reference_baselines.json")) as f:
+    BASELINES = json.load(f)
+
+
+def test_va_uncoded_ber_matches_reference_band():
+    ref = BASELINES["va_full_csi"]["uncoded"]["points"]["10.0"]  # 0.0212
+    cfg = Config(use_ecc=False, val_frames=10, val_SNR_start=10.0,
+                 val_SNR_end=10.0, fading_taps_type=1)
+    t = Trainer(cfg, "va", verbose=False)
+    ours = t.single_eval_at_point(None, 10.0, cfg.gamma)
+    # 240 data words x 120 bits = 28.8k bits; sigma ~ 0.00085 at p=0.021.
+    # band = 5 sigma + a small systematic allowance
+    assert abs(ours - ref) < 0.006, (ours, ref)
+
+
+def test_va_coded_ber_matches_reference_band():
+    ref = BASELINES["va_full_csi"]["coded_nsym2"]["points"]["10.0"]  # 0.0140
+    cfg = Config(use_ecc=True, val_frames=10, val_SNR_start=10.0,
+                 val_SNR_end=10.0, fading_taps_type=1)
+    t = Trainer(cfg, "va", verbose=False)
+    ours = t.single_eval_at_point(None, 10.0, cfg.gamma)
+    assert abs(ours - ref) < 0.006, (ours, ref)
