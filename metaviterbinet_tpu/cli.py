@@ -91,6 +91,15 @@ def main(argv=None):
 
     sub.add_parser("bench", help="run the headline benchmark")
 
+    p_taps = sub.add_parser(
+        "taps", help="plot channel tap trajectories "
+                     "(reference channel_estimation.py:52-70)")
+    add_common(p_taps)
+    p_taps.add_argument("--channel", default="time_decay",
+                        choices=["cost2100", "time_decay"])
+    p_taps.add_argument("--fading-type", type=int, default=1, choices=[1, 2])
+    p_taps.add_argument("--blocks", type=int, default=300)
+
     args = parser.parse_args(argv)
 
     if getattr(args, "platform", None):
@@ -109,6 +118,18 @@ def main(argv=None):
         bench = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(bench)
         bench.main()
+        return 0
+
+    if args.command == "taps":
+        from metaviterbinet_tpu.plotters.figures import plot_tap_trajectories
+        cfg = _build_config(args)
+        path = plot_tap_trajectories(
+            memory_length=cfg.memory_length, gamma=cfg.gamma,
+            channel_coefficients=args.channel,
+            fading_taps_type=args.fading_type, n_blocks=args.blocks,
+            fading=cfg.fading_in_channel,
+        )
+        print(json.dumps({"figure": path}))
         return 0
 
     if args.command == "sweep":

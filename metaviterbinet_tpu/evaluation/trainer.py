@@ -61,6 +61,7 @@ class Trainer:
             self.loss_fn = make_loss_fn(
                 self.spec.score, self.spec.label_kind, cfg.memory_length,
                 self.spec.subsample_loss, cfg.train_minibatch_size,
+                loss_type=cfg.loss_type,
             )
             self.params = self.init_params()
         else:

@@ -65,6 +65,41 @@ def plot_by_block(all_curves: List[Curve], val_block_length: int,
     return path
 
 
+def plot_tap_trajectories(memory_length: int = 4, gamma: float = 0.2,
+                          channel_coefficients: str = "time_decay",
+                          fading_taps_type: int = 1, n_blocks: int = 300,
+                          fading: bool = True, show: bool = False) -> str:
+    """Per-tap magnitude over block index — the reference's visual-inspection
+    smoke test of the channel generator (channel_estimation.py:52-70)."""
+    import matplotlib
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from metaviterbinet_tpu.ops.channel import estimate_channel_batch
+
+    h = np.asarray(estimate_channel_batch(
+        memory_length, gamma, np.arange(n_blocks),
+        channel_coefficients=channel_coefficients,
+        fading=fading, fading_taps_type=fading_taps_type,
+    ))
+    apply_style()
+    out_dir = _figure_dir()
+    plt.figure()
+    for tap in range(memory_length):
+        plt.plot(np.arange(n_blocks), h[:, tap], label=f"h{tap}", linewidth=2.2)
+    plt.xlabel("Block Index")
+    plt.ylabel("Tap magnitude")
+    plt.legend(loc="upper right", prop={"size": 15})
+    path = os.path.join(
+        out_dir, f"taps_{channel_coefficients}_type{fading_taps_type}.png")
+    plt.savefig(path, bbox_inches="tight")
+    if show:
+        plt.show()
+    plt.close()
+    return path
+
+
 def plot_ber_vs_snr(all_curves: List[Curve], snr_values: List[float],
                     show: bool = False) -> str:
     """Mean coded BER vs SNR, log-y (plotter_utils.py:107-140)."""

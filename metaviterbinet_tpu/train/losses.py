@@ -29,13 +29,32 @@ def cross_entropy(logits, labels):
     return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(logits, labels))
 
 
+def _criterion(loss_type: str, logits, labels):
+    """The reference's three criterion choices (trainer.py:178-185).
+
+    CE takes integer labels directly; BCE/MSE are applied against the
+    one-hot target distribution (the only shape under which the reference's
+    BCELoss/MSELoss options are coherent for logit-vs-label training).
+    """
+    if loss_type == "CrossEntropy":
+        return cross_entropy(logits, labels)
+    one_hot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logits.dtype)
+    if loss_type == "BCE":
+        return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, one_hot))
+    if loss_type == "MSE":
+        return jnp.mean((logits - one_hot) ** 2)
+    raise NotImplementedError(f"No such loss function implemented: {loss_type}")
+
+
 def make_loss_fn(score_fn, label_kind: str, memory_length: int,
-                 subsample: bool, minibatch_size: int):
+                 subsample: bool, minibatch_size: int,
+                 loss_type: str = "CrossEntropy"):
     """Build loss(params, rx, tx, key) for a detector's score function.
 
     label_kind: 'states' (ViterbiNet CE over trellis states) or 'bits'
     (LSTM CE over bit classes). When `subsample`, a select_batch of symbols is
     drawn per step (key required); otherwise all symbols contribute.
+    loss_type selects the criterion (reference 'BCE'|'CrossEntropy'|'MSE').
     """
 
     def loss_fn(params, rx, tx, key=None):
@@ -57,6 +76,6 @@ def make_loss_fn(score_fn, label_kind: str, memory_length: int,
             flat_logits, labels = flat_logits[idx], labels[idx]
         else:
             flat_logits = flat_logits[: labels.shape[0]]
-        return cross_entropy(flat_logits, labels)
+        return _criterion(loss_type, flat_logits, labels)
 
     return loss_fn

@@ -49,6 +49,52 @@ def test_figures_render(tmp_path, monkeypatch):
     assert os.path.isfile(p2)
 
 
+def test_tap_trajectory_figure(tmp_path, monkeypatch):
+    import metaviterbinet_tpu.plotters.figures as figures
+    monkeypatch.setattr(figures, "FIGURES_DIR", str(tmp_path))
+    p = figures.plot_tap_trajectories(n_blocks=20)
+    assert os.path.isfile(p)
+
+
+def test_cli_taps(tmp_path, capsys, monkeypatch):
+    import metaviterbinet_tpu.plotters.figures as figures
+    monkeypatch.setattr(figures, "FIGURES_DIR", str(tmp_path))
+    from metaviterbinet_tpu.cli import main
+    rc = main(["taps", "--channel", "time_decay", "--fading-type", "2",
+               "--blocks", "20"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.isfile(out["figure"])
+
+
+def test_loss_types_bce_mse():
+    """The reference's BCE/MSE criterion options (trainer.py:178-185) are
+    selectable and produce finite, distinct losses."""
+    import jax
+    import jax.numpy as jnp
+    from metaviterbinet_tpu.config import Config
+    from metaviterbinet_tpu.detectors import DETECTORS
+    from metaviterbinet_tpu.train.losses import make_loss_fn
+
+    spec = DETECTORS["vnet"]
+    cfg = Config()
+    params = spec.init(jax.random.PRNGKey(0), cfg)
+    rx = jax.random.normal(jax.random.PRNGKey(1), (2, 24))
+    tx = jax.random.bernoulli(jax.random.PRNGKey(2), 0.5, (2, 24)).astype(jnp.float32)
+    vals = {}
+    for lt in ("CrossEntropy", "BCE", "MSE"):
+        fn = make_loss_fn(spec.score, spec.label_kind, cfg.memory_length,
+                          False, 8, loss_type=lt)
+        v = float(fn(params, rx, tx))
+        assert np.isfinite(v) and v > 0
+        vals[lt] = v
+    assert len({round(v, 6) for v in vals.values()}) == 3
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        make_loss_fn(spec.score, spec.label_kind, cfg.memory_length,
+                     False, 8, loss_type="Huber")(params, rx, tx)
+
+
 def test_cli_evaluate_va(tmp_path, capsys):
     from metaviterbinet_tpu.cli import main
     rc = main([
