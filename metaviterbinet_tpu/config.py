@@ -50,6 +50,7 @@ class Config:
     train_SNR_end: float = 10.0
     train_SNR_step: float = 1.0
     lr: float = 1e-3
+    clip_grad_norm: float = 0.0  # >0 enables global-norm grad clipping (opt-in; reference has none)
     loss_type: str = "CrossEntropy"  # 'BCE' | 'CrossEntropy' | 'MSE'
     optimizer_type: str = "Adam"  # 'Adam' | 'RMSprop' | 'SGD'
 

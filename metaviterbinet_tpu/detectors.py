@@ -85,3 +85,26 @@ META_LSTM = DetectorSpec(
 )
 
 DETECTORS = {d.name: d for d in (VA, VNET, META_VNET, LSTM, META_LSTM)}
+
+_MODEL_OF = {"vnet": viterbinet, "meta_vnet": viterbinet,
+             "lstm": lstm, "meta_lstm": lstm}
+
+
+def with_compute_dtype(spec: DetectorSpec, dtype_name: str) -> DetectorSpec:
+    """Specialize a trainable spec to a compute dtype (Config.dtype).
+
+    'bfloat16' runs the branch-metric network's matmuls/recurrence in bf16 on
+    the MXU — the ACS recursion and loss stay float32 (path metrics must not
+    round; CLAUDE.md precision invariant). 'float32' returns the spec as-is,
+    as does the parameterless VA (its analytic priors are a single f32 op).
+    """
+    if dtype_name in (None, "float32") or spec.name not in _MODEL_OF:
+        return spec
+    dt = jnp.dtype(dtype_name).type
+    model = _MODEL_OF[spec.name]
+    from dataclasses import replace
+    return replace(
+        spec,
+        score=lambda params, y: model.score(params, y, compute_dtype=dt),
+        detect=lambda params, y, h: model.detect(params, y, compute_dtype=dt),
+    )

@@ -29,7 +29,7 @@ import numpy as np
 
 from metaviterbinet_tpu.config import Config
 from metaviterbinet_tpu.data.dataset import ChannelDataset
-from metaviterbinet_tpu.detectors import DETECTORS, DetectorSpec
+from metaviterbinet_tpu.detectors import DETECTORS, DetectorSpec, with_compute_dtype
 from metaviterbinet_tpu.ecc.rs import rs_decode_bits, rs_encode_bits
 from metaviterbinet_tpu.online.engine import make_online_engine
 from metaviterbinet_tpu.ops.channel import estimate_channel_batch
@@ -48,6 +48,7 @@ class Trainer:
                  metrics=None):
         self.cfg = cfg
         self.spec = DETECTORS[detector] if isinstance(detector, str) else detector
+        self.spec = with_compute_dtype(self.spec, cfg.dtype)
         self.verbose = verbose
         self.metrics = metrics  # optional utils.logging.MetricsLogger
         self.weights_dir = weights_dir or cfg.weights_dir or os.path.join(
@@ -187,7 +188,7 @@ class Trainer:
         if self.spec.meta:
             return self.meta_train()
         cfg = self.cfg
-        optimizer = make_optimizer(cfg.optimizer_type, cfg.lr)
+        optimizer = make_optimizer(cfg.optimizer_type, cfg.lr, cfg.clip_grad_norm)
         sweep = make_word_sweep(self.loss_fn, optimizer)
         for snr in cfg.snr_range("train"):
             snr = float(snr)
@@ -214,7 +215,7 @@ class Trainer:
         draw random query indices, adapt on (support, query) pairs of
         RS-coded words."""
         cfg = self.cfg
-        optimizer = make_optimizer(cfg.optimizer_type, cfg.lr)
+        optimizer = make_optimizer(cfg.optimizer_type, cfg.lr, cfg.clip_grad_norm)
         maml_step = make_maml_step(self.loss_fn, optimizer, cfg.meta_lr, cfg.MAML)
         w = cfg.window_size
         n_words = cfg.n_words("train")

@@ -68,12 +68,19 @@ def _cell(params, layer: int, x, h, c):
     return h_new, c_new
 
 
-def score(params, y: jnp.ndarray) -> jnp.ndarray:
-    """Per-symbol class logits: y [B, T] -> [B, T, N_CLASSES]."""
+def score(params, y: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """Per-symbol class logits: y [B, T] -> [B, T, N_CLASSES].
+
+    compute_dtype (e.g. jnp.bfloat16) runs the recurrence in that dtype;
+    logits are returned float32."""
     B, T = y.shape
+    dt = compute_dtype or y.dtype
+    if compute_dtype is not None:
+        params = jax.tree_util.tree_map(lambda p: p.astype(compute_dtype), params)
+        y = y.astype(compute_dtype)
     xs = jnp.moveaxis(make_windows(y), 1, 0)  # [T, B, INPUT_SIZE]
-    h0 = jnp.zeros((NUM_LAYERS, B, HIDDEN_SIZE), dtype=y.dtype)
-    c0 = jnp.zeros((NUM_LAYERS, B, HIDDEN_SIZE), dtype=y.dtype)
+    h0 = jnp.zeros((NUM_LAYERS, B, HIDDEN_SIZE), dtype=dt)
+    c0 = jnp.zeros((NUM_LAYERS, B, HIDDEN_SIZE), dtype=dt)
 
     def step(carry, x_t):
         h, c = carry
@@ -88,9 +95,9 @@ def score(params, y: jnp.ndarray) -> jnp.ndarray:
 
     _, outs = jax.lax.scan(step, (h0, c0), xs)  # [T, B, H]
     logits = outs @ params["w_fc"].T + params["b_fc"]  # [T, B, 2]
-    return jnp.moveaxis(logits, 0, 1)
+    return jnp.moveaxis(logits, 0, 1).astype(jnp.float32)
 
 
-def detect(params, y: jnp.ndarray) -> jnp.ndarray:
+def detect(params, y: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
     """Hard decode: argmax over class logits (reference lstm_detector.py:55-57)."""
-    return jnp.argmax(score(params, y), axis=-1).astype(y.dtype)
+    return jnp.argmax(score(params, y, compute_dtype), axis=-1).astype(y.dtype)

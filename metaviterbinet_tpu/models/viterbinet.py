@@ -33,16 +33,27 @@ def init_params(key, n_states: int):
     return {"w1": w1, "b1": b1, "w2": w2, "b2": b2, "w3": w3, "b3": b3}
 
 
-def score(params, y: jnp.ndarray) -> jnp.ndarray:
-    """Per-symbol state logits: y [words, T] -> [words, T, n_states]."""
+def score(params, y: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """Per-symbol state logits: y [words, T] -> [words, T, n_states].
+
+    compute_dtype (e.g. jnp.bfloat16) runs the MLP matmuls in that dtype —
+    halves HBM traffic on TPU; logits are returned in float32 so the ACS
+    path metrics never round (see CLAUDE.md precision invariant)."""
     x = y.reshape(-1, 1)
-    x = jax.nn.sigmoid(x @ params["w1"].T + params["b1"])
-    x = jax.nn.relu(x @ params["w2"].T + params["b2"])
-    logits = x @ params["w3"].T + params["b3"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w1, b1, w2, b2, w3, b3 = (params[k].astype(compute_dtype) for k in
+                                  ("w1", "b1", "w2", "b2", "w3", "b3"))
+    else:
+        w1, b1, w2, b2, w3, b3 = (params[k] for k in
+                                  ("w1", "b1", "w2", "b2", "w3", "b3"))
+    x = jax.nn.sigmoid(x @ w1.T + b1)
+    x = jax.nn.relu(x @ w2.T + b2)
+    logits = (x @ w3.T + b3).astype(jnp.float32)
     return logits.reshape(y.shape[0], y.shape[1], -1)
 
 
-def detect(params, y: jnp.ndarray) -> jnp.ndarray:
+def detect(params, y: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
     """Hard decode: ACS over negated logits (logits are max-good, ACS is min-sum;
-    reference vnet_detector.py:51-61)."""
-    return viterbi_decode(-score(params, y))
+    reference vnet_detector.py:51-61). ACS always runs float32."""
+    return viterbi_decode(-score(params, y, compute_dtype)).astype(y.dtype)

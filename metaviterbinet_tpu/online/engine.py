@@ -78,7 +78,7 @@ def make_online_engine(
     optimizer = None
     if plan.trainable and (plan.self_supervised or plan.online_meta):
         from metaviterbinet_tpu.train.optim import make_optimizer
-        optimizer = make_optimizer(cfg.optimizer_type, cfg.lr)
+        optimizer = make_optimizer(cfg.optimizer_type, cfg.lr, cfg.clip_grad_norm)
 
     def detect_decode_score(params, rx, tx, h, count):
         """Detect one block; return (ser, label, detected)."""

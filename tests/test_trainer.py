@@ -78,3 +78,36 @@ def test_meta_lstm_full_path(tmp_path):
     sers = t.evaluate()
     assert sers.shape == (cfg.n_words("val"),)
     assert np.all(np.isfinite(sers))
+
+
+def test_bfloat16_compute_dtype(tmp_path):
+    """Config.dtype='bfloat16' runs the metric network in bf16 (ACS stays
+    f32); detection quality stays close to the f32 path on the same data."""
+    import jax
+
+    cfg32 = tiny_cfg(tmp_path, val_SNR_start=12.0, val_SNR_end=12.0)
+    cfg16 = cfg32.replace(dtype="bfloat16")
+    t32 = Trainer(cfg32, "vnet", verbose=False)
+    t16 = Trainer(cfg16, "vnet", verbose=False)
+    t16.params = t32.params  # same weights, different compute dtype
+    s32 = t32.single_eval_at_point(t32.params, 12.0, cfg32.gamma)
+    s16 = t16.single_eval_at_point(t16.params, 12.0, cfg16.gamma)
+    assert np.isfinite(s16)
+    assert abs(s16 - s32) < 0.15  # bf16 rounding must not destroy detection
+
+
+def test_clip_grad_norm_optimizer():
+    """clip_grad_norm > 0 bounds the update norm; 0 is the parity default."""
+    import jax.numpy as jnp
+
+    from metaviterbinet_tpu.train.optim import make_optimizer
+
+    params = {"w": jnp.zeros(4)}
+    grads = {"w": jnp.full(4, 100.0)}
+    opt = make_optimizer("SGD", 1.0, clip_grad_norm=1.0)
+    state = opt.init(params)
+    updates, _ = opt.update(grads, state, params)
+    assert float(jnp.linalg.norm(updates["w"])) <= 1.0 + 1e-5
+    opt0 = make_optimizer("SGD", 1.0, clip_grad_norm=0.0)
+    updates0, _ = opt0.update(grads, opt0.init(params), params)
+    assert float(jnp.linalg.norm(updates0["w"])) > 100.0
