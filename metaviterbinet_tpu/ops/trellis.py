@@ -85,6 +85,50 @@ def viterbi_decode_with_metrics(priors: jnp.ndarray, in_prob0: jnp.ndarray):
     return jnp.moveaxis(bits_t, 0, 1), final
 
 
+def viterbi_decode_lowlat(priors: jnp.ndarray) -> jnp.ndarray:
+    """Log-depth greedy Viterbi via (min,+) parallel prefix.
+
+    Semantics identical to `viterbi_decode` (greedy zero-delay readout), but
+    the T-step recursion becomes a `lax.associative_scan` over per-step
+    (min,+) transition matrices — O(log T) sequential depth instead of O(T).
+    The trade: O(S^2 log T) work per symbol instead of O(S), so this is the
+    *latency* path (single stream / small batch, e.g. one codeword in flight
+    per receiver); `viterbi_decode` remains the throughput path.  Pattern from
+    the tensor-core parallel Viterbi literature (PAPERS.md: arXiv 2011.13579 —
+    ACS as matrix products in the tropical semiring).
+
+    priors: [batch, T, n_states] branch metric attached to each predecessor
+            state (same convention as viterbi_decode / reference acs_block).
+    returns: [batch, T] hard bit decisions.
+
+    Exactness: min-plus composition is associative; with exactly-representable
+    metrics the result is bit-identical to the sequential scan. With float32
+    branch metrics, different addition orders can flip exact near-ties (rare;
+    statistically invisible in BER).
+    """
+    batch, T, n_states = priors.shape
+    # per-step matrix M_t[p, s] = priors_t[p] if p ∈ pred(s) else +inf, where
+    # pred(s) = {2s mod n, 2s+1 mod n}; m_{t+1} = min_p (m_t[p] + M_t[p, s])
+    pred = transition_table(n_states)                     # [S, 2]
+    mask = np.full((n_states, n_states), np.inf, np.float32)
+    for s in range(n_states):
+        mask[pred[s, 0], s] = 0.0
+        mask[pred[s, 1], s] = 0.0
+    mask = jnp.asarray(mask)
+    mats = priors[..., None] + mask                        # [B, T, S, S]
+
+    def compose(a, b):
+        # (min,+) matrix product: (a ⊗ b)[i, j] = min_k a[i, k] + b[k, j]
+        return jnp.min(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+
+    prefixes = jax.lax.associative_scan(compose, mats, axis=1)  # C_1..C_T
+    # metrics *entering* step t: m_0 = 0 (uniform), m_t = min_p C_t[p, ·]
+    m = jnp.concatenate(
+        [jnp.zeros((batch, 1, n_states), priors.dtype),
+         jnp.min(prefixes[:, :-1], axis=2)], axis=1)       # [B, T, S]
+    return (jnp.argmin(m, axis=-1) % 2).astype(priors.dtype)
+
+
 def calculate_states(memory_length: int, words: jnp.ndarray) -> jnp.ndarray:
     """Per-time trellis state label of a bit word, for CE training targets.
 

@@ -101,3 +101,28 @@ def test_chunked_decode_matches_sequential():
     )
     got = np.asarray(chunk_bits)[:, overlap:]
     np.testing.assert_array_equal(got, seq[:, half:])
+
+
+def test_lowlat_prefix_decode_exact_on_integer_metrics():
+    """(min,+) parallel-prefix decode is bit-identical to the sequential scan
+    when branch metrics are exactly representable (no float reassociation)."""
+    from metaviterbinet_tpu.ops.trellis import viterbi_decode, viterbi_decode_lowlat
+
+    rng = np.random.default_rng(0)
+    priors = jnp.asarray(
+        rng.integers(0, 12, size=(8, 37, 16)).astype(np.float32))
+    a = np.asarray(viterbi_decode(priors))
+    b = np.asarray(viterbi_decode_lowlat(priors))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_lowlat_prefix_decode_float_agreement():
+    """On float Gaussian metrics (generic — no exact ties), the prefix decode
+    matches the sequential scan bit-for-bit up to reassociation noise."""
+    from metaviterbinet_tpu.ops.trellis import viterbi_decode, viterbi_decode_lowlat
+
+    rng = np.random.default_rng(1)
+    priors = jnp.asarray(rng.normal(size=(16, 136, 16)).astype(np.float32) ** 2)
+    a = np.asarray(viterbi_decode(priors))
+    b = np.asarray(viterbi_decode_lowlat(priors))
+    assert (a == b).mean() > 0.999
