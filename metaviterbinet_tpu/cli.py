@@ -36,6 +36,14 @@ def _parse_set_overrides(pairs):
             out[key] = int(raw)
         elif isinstance(current, float):
             out[key] = float(raw)
+        elif current is None:
+            # Optional fields (e.g. mesh_shape tuple, weights_dir str): parse
+            # python literals when they look like one, else keep the string
+            import ast
+            try:
+                out[key] = ast.literal_eval(raw)
+            except (ValueError, SyntaxError):
+                out[key] = raw
         else:
             out[key] = raw
     return out

@@ -90,6 +90,31 @@ _MODEL_OF = {"vnet": viterbinet, "meta_vnet": viterbinet,
              "lstm": lstm, "meta_lstm": lstm}
 
 
+def with_pallas_detect(spec: DetectorSpec) -> DetectorSpec:
+    """Specialize a ViterbiNet-family spec to the fused Pallas metric+ACS
+    kernel for batch detection (Config.use_pallas).
+
+    The kernel wants the words axis padded to a lane multiple (128); the
+    wrapper pads and slices. Off-TPU it runs in interpret mode (slow — meant
+    for semantics tests only). Measured on TPU v5e at the reference geometry
+    (16 states) the XLA scan path is slightly faster (350M vs 288M sym/s),
+    which is why this is opt-in; the kernel is the explicit-control variant
+    that scales to larger state counts.
+    """
+    if spec.name not in ("vnet", "meta_vnet"):
+        return spec
+    from metaviterbinet_tpu.kernels.acs import LANE_W, fused_viterbinet_detect
+
+    def detect(params, y, h):
+        W = y.shape[0]
+        Wp = -(-W // LANE_W) * LANE_W
+        ypad = jnp.pad(y, ((0, Wp - W), (0, 0)))
+        return fused_viterbinet_detect(params, ypad)[:W].astype(y.dtype)
+
+    from dataclasses import replace
+    return replace(spec, detect=detect)
+
+
 def with_compute_dtype(spec: DetectorSpec, dtype_name: str) -> DetectorSpec:
     """Specialize a trainable spec to a compute dtype (Config.dtype).
 

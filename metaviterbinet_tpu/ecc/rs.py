@@ -91,8 +91,12 @@ def rs_encode_bits(bits: jnp.ndarray, nsym: int) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=16)
-def _decode_consts(n: int, nsym: int):
-    """Static matrices for syndrome and Chien evaluation at codeword length n."""
+def _decode_consts_np(n: int, nsym: int):
+    """Static matrices for syndrome and Chien evaluation at codeword length n.
+
+    Cached as NUMPY arrays only: caching jax arrays here is a tracer-leak
+    hazard — if the first call happens inside a jit/vmap trace, the cached
+    value can be trace-local and poison later calls."""
     nb = nsym + 2  # BM buffer size (list lengths never exceed nsym+1)
     # syndrome: synd_i = XOR_j msg[j] * alpha^(i*(n-1-j)),  i = 0..nsym-1
     i_idx = np.arange(nsym)[:, None]
@@ -102,7 +106,12 @@ def _decode_consts(n: int, nsym: int):
     ii = np.arange(n)[:, None]
     mm = np.arange(nb)[None, :]
     chien_pow = np.asarray(_tables_exp())[(ii * mm) % 255]
-    return jnp.asarray(synd_pow, jnp.int32), jnp.asarray(chien_pow, jnp.int32)
+    return synd_pow.astype(np.int32), chien_pow.astype(np.int32)
+
+
+def _decode_consts(n: int, nsym: int):
+    synd_pow, chien_pow = _decode_consts_np(n, nsym)
+    return jnp.asarray(synd_pow), jnp.asarray(chien_pow)
 
 
 def _tables_exp():

@@ -29,7 +29,9 @@ import numpy as np
 
 from metaviterbinet_tpu.config import Config
 from metaviterbinet_tpu.data.dataset import ChannelDataset
-from metaviterbinet_tpu.detectors import DETECTORS, DetectorSpec, with_compute_dtype
+from metaviterbinet_tpu.detectors import (
+    DETECTORS, DetectorSpec, with_compute_dtype, with_pallas_detect,
+)
 from metaviterbinet_tpu.ecc.rs import rs_decode_bits, rs_encode_bits
 from metaviterbinet_tpu.online.engine import make_online_engine
 from metaviterbinet_tpu.ops.channel import estimate_channel_batch
@@ -68,7 +70,24 @@ class Trainer:
         else:
             self.loss_fn = None
         self._online_engine = None
-        self._detect_batch = jax.jit(self.spec.detect)
+        # the online engine detects one word per block — keep it on the scan
+        # path even when the (batch-oriented) Pallas kernel is enabled
+        self._engine_detect = self.spec.detect
+        if cfg.use_pallas:
+            self.spec = with_pallas_detect(self.spec)
+        if cfg.mesh_shape:
+            # data-parallel batch detection over a device mesh (words axis);
+            # the online engine is sequential-over-blocks and stays one-device
+            import numpy as _np
+
+            from metaviterbinet_tpu.parallel.decode import shard_words_decode
+            from metaviterbinet_tpu.parallel.mesh import make_mesh
+
+            n_dev = int(_np.prod(cfg.mesh_shape))
+            self._detect_batch = shard_words_decode(
+                make_mesh((n_dev,), ("dp",)), self.spec.detect)
+        else:
+            self._detect_batch = jax.jit(self.spec.detect)
 
     # ------------------------------------------------------------------ utils
     def _next_key(self):
@@ -146,7 +165,7 @@ class Trainer:
         cfg = self.cfg
         if self._online_engine is None:
             self._online_engine = make_online_engine(
-                cfg, self.spec.detect, self.loss_fn,
+                cfg, self._engine_detect, self.loss_fn,
                 init_fn=(lambda k: self.spec.init(k, cfg)) if self.spec.trainable else None,
             )
         tx, rx = self.val_dataset.get(snr, gamma)
@@ -239,7 +258,6 @@ class Trainer:
             self._log(f"SNR - {snr}, Gamma - {cfg.gamma} (meta)")
             params = self.init_params()
             opt_state = optimizer.init(params)
-            best_loss = math.inf
             for minibatch in range(1, cfg.train_minibatch_num + 1):
                 tx, rx = self.train_dataset.get(snr, cfg.gamma)
                 tx_coded = rs_encode_bits(tx, cfg.n_symbols).astype(rx.dtype) \
@@ -254,9 +272,9 @@ class Trainer:
                 self._log(f"Minibatch {minibatch}, ser - {ser}, loss {float(loss):.4f}")
                 self._metric("meta_train_minibatch", snr=snr, minibatch=minibatch,
                              ser=ser, loss=float(loss))
-                if float(loss) < best_loss:
-                    self.save_weights(params, float(loss), snr, cfg.gamma)
-                    best_loss = float(loss)
+                # the reference saves unconditionally every minibatch — the
+                # LAST minibatch's weights seed evaluation (trainer.py:420-423)
+                self.save_weights(params, float(loss), snr, cfg.gamma)
         self.params = self.load_weights(float(cfg.snr_range("train")[-1]), cfg.gamma)
         return self.params
 

@@ -51,12 +51,19 @@ def _route_matrix(n_states: int) -> np.ndarray:
     return m
 
 
-def _acs_step(in_prob, prior_t, route, even_mask):
-    """One ACS stage in [S, 128] layout. Returns (bit_row [1,128], new metrics)."""
-    inf = jnp.float32(jnp.inf)
-    even_min = jnp.min(jnp.where(even_mask, in_prob, inf), axis=0, keepdims=True)
-    odd_min = jnp.min(jnp.where(even_mask, inf, in_prob), axis=0, keepdims=True)
-    bit = (odd_min < even_min).astype(jnp.float32)  # [1, 128]
+def _acs_step(in_prob, prior_t, route, state_iota):
+    """One ACS stage in [S, 128] layout. Returns (bit_row [1,128], new metrics).
+
+    Readout uses argmin's first-min tie-breaking (the LOWEST state index
+    attaining the min wins, matching jnp.argmin / reference torch.argmin):
+    exact ties do occur — the per-step renormalization pins the running min
+    to exactly 0.0, so two tied survivor paths compare equal."""
+    m = jnp.min(in_prob, axis=0, keepdims=True)          # [1, 128]
+    n_states = in_prob.shape[0]
+    first_idx = jnp.min(
+        jnp.where(in_prob == m, state_iota, jnp.float32(n_states)),
+        axis=0, keepdims=True)                            # [1, 128]
+    bit = first_idx % 2.0                                 # LSB of argmin state
     total = in_prob + prior_t
     # roll by S-1 == roll by -1 (pltpu.roll requires non-negative shifts):
     # row s pairs with row (s+1) mod S
@@ -79,7 +86,9 @@ def _detect_kernel(y_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     w3 = w3_ref[:].astype(jnp.bfloat16)  # [S, H2]
     b3 = b3_ref[:]              # [S, 1]
     route = route_ref[:]
-    even_mask = (jax.lax.broadcasted_iota(jnp.int32, (n_states, LANE_W), 0) % 2) == 0
+    # Mosaic's tpu.iota is integer-only; cast after
+    state_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (n_states, LANE_W), 0).astype(jnp.float32)
 
     in_prob = jnp.zeros((n_states, LANE_W), jnp.float32)
     rows = []
@@ -92,7 +101,7 @@ def _detect_kernel(y_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
         )                                              # [H2, 128]
         logits = jnp.dot(w3, h2.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32) + b3  # [S, 128]
-        bit, in_prob = _acs_step(in_prob, -logits, route, even_mask)
+        bit, in_prob = _acs_step(in_prob, -logits, route, state_iota)
         rows.append(bit)
     out_ref[:] = jnp.concatenate(rows, axis=0)         # [T, 128]
 
@@ -131,11 +140,13 @@ def fused_viterbinet_detect(params, y):
 
 def _decode_kernel(priors_ref, route_ref, out_ref, *, n_states: int, T: int):
     route = route_ref[:]
-    even_mask = (jax.lax.broadcasted_iota(jnp.int32, (n_states, LANE_W), 0) % 2) == 0
+    # Mosaic's tpu.iota is integer-only; cast after
+    state_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (n_states, LANE_W), 0).astype(jnp.float32)
     in_prob = jnp.zeros((n_states, LANE_W), jnp.float32)
     rows = []
     for t in range(T):
-        bit, in_prob = _acs_step(in_prob, priors_ref[t], route, even_mask)
+        bit, in_prob = _acs_step(in_prob, priors_ref[t], route, state_iota)
         rows.append(bit)
     out_ref[:] = jnp.concatenate(rows, axis=0)
 

@@ -173,6 +173,10 @@ def make_online_engine(
         if init_buffer_rx is not None:
             # buffer starts full (reference buffer_empty=False path)
             n0 = init_buffer_rx.shape[0]
+            if n0 > cap:
+                raise ValueError(
+                    f"init buffer ({n0} words) exceeds buffer_capacity ({cap}); "
+                    "raise Config.buffer_capacity")
             pad = cap - n0
             buf_rx0 = jnp.concatenate(
                 [init_buffer_rx, jnp.zeros((pad, T), rx_words.dtype)]
@@ -204,6 +208,14 @@ def make_online_engine(
                 if ring:
                     start = (start + 1) % cap
                 else:
+                    # past capacity, degrade gracefully to drop-oldest: the
+                    # slot above IS the oldest entry when full, so advance
+                    # start to keep the logical order intact (the reference
+                    # buffer grows unboundedly, trainer.py:320-325; a fixed
+                    # ring over the newest `cap` words is the static-shape
+                    # equivalent)
+                    full = n_valid >= cap
+                    start = jnp.where(full, (start + 1) % cap, start)
                     n_valid = jnp.minimum(n_valid + 1, cap)
                 return buf_rx, buf_tx, start, n_valid
 

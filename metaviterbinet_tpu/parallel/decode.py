@@ -34,14 +34,24 @@ def shard_words_decode(mesh: Mesh, detect_fn):
     """
     repl = NamedSharding(mesh, P())
     rows = NamedSharding(mesh, P("dp"))
+    n_dp = mesh.shape["dp"]
 
     @functools.partial(
         jax.jit,
         in_shardings=(repl, rows, rows),
         out_shardings=rows,
     )
-    def run(params, y, h):
+    def run_sharded(params, y, h):
         return detect_fn(params, y, h)
+
+    def run(params, y, h):
+        # pad the words axis to a dp multiple (sharded dims must divide)
+        W = y.shape[0]
+        Wp = -(-W // n_dp) * n_dp
+        if Wp != W:
+            y = jnp.concatenate([y, jnp.tile(y[-1:], (Wp - W, 1))])
+            h = jnp.concatenate([h, jnp.tile(h[-1:], (Wp - W, 1))])
+        return run_sharded(params, y, h)[:W]
 
     return run
 

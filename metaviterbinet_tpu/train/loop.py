@@ -39,25 +39,3 @@ def make_word_sweep(loss_fn: Callable, optimizer: optax.GradientTransformation):
         return params, opt_state, jnp.sum(losses)
 
     return sweep
-
-
-def make_online_steps(loss_fn: Callable, optimizer: optax.GradientTransformation,
-                      n_iterations: int):
-    """Self-supervised adaptation: n SGD steps on one (tx, rx) pseudo-labeled
-    pair (reference vnet_trainer.py:49-60: self_supervised_iterations steps)."""
-
-    @jax.jit
-    def run(params, opt_state, rx, tx, key):
-        keys = jax.random.split(key, n_iterations)
-
-        def step(carry, k):
-            params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(params, rx, tx, k)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
-        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)
-        return params, opt_state, losses[-1]
-
-    return run

@@ -67,8 +67,9 @@ def main():
         t_dp = timed(run_dp, params, y, h)
         thr_dp = W * T / t_dp
 
+        from metaviterbinet_tpu.config import Config
         mesh_sp = make_mesh((n,), ("sp",))
-        run_sp = sequence_parallel_decode(mesh_sp, overlap=32)
+        run_sp = sequence_parallel_decode(mesh_sp, overlap=Config().decode_overlap)
         # T must divide by n for the shard; tile the batch time-wise
         T_sp = 128 * n
         pr = jnp.tile(priors[:, :128, :], (1, n, 1))

@@ -53,3 +53,24 @@ def test_shape_validation():
         fused_viterbinet_detect(params, jnp.zeros((100, 48)))
     with pytest.raises(ValueError, match="multiple"):
         pallas_viterbi_decode(jnp.zeros((100, 48, 16)))
+
+
+def test_pallas_readout_breaks_ties_like_argmin():
+    """Exact ties (renorm pins the running min to 0.0) must resolve to the
+    LOWEST state index, matching jnp.argmin / torch.argmin — here the tied
+    minimum set is {1, 2, 9, 10}, so the emitted bit is state 1's LSB = 1."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from metaviterbinet_tpu.kernels.acs import pallas_viterbi_decode
+    from metaviterbinet_tpu.ops.trellis import viterbi_decode
+
+    S = 16
+    p0 = np.ones(S, np.float32)
+    p0[[2, 4]] = 0.0  # new[1] = min(p2,p3) = 0, new[2] = min(p4,p5) = 0
+    priors = np.stack([p0, np.ones(S, np.float32)])[None]  # [1, 2, S]
+    priors = jnp.asarray(np.tile(priors, (128, 1, 1)))
+    a = np.asarray(viterbi_decode(priors))
+    b = np.asarray(pallas_viterbi_decode(priors))
+    assert a[0, 1] == 1.0  # argmin of tie {1,2,...} is state 1 -> bit 1
+    np.testing.assert_array_equal(a, b)

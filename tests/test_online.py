@@ -137,3 +137,24 @@ def test_weights_init_policies():
     r2 = engine2(params, tx, rx, h, jax.random.PRNGKey(2),
                  meta_init_params=meta_init)
     assert np.all(np.isfinite(np.asarray(r2.ser_by_word)))
+
+
+def test_buffer_saturation_drops_oldest():
+    """Past buffer_capacity the empty-start buffer degrades to drop-oldest
+    (the reference buffer grows unboundedly, trainer.py:320-325); n_buffer
+    saturates at cap and the engine stays finite and correct."""
+    cfg = tiny_cfg(buffer_capacity=4, ser_thresh=1.0)  # all 10 words gated
+    tx, rx, h = make_inputs(cfg)
+    engine = make_online_engine(cfg, DETECTORS["va"].detect, None)
+    result = engine(None, tx, rx, h, jax.random.PRNGKey(0))
+    assert int(result.n_buffer) == 4
+    assert np.all(np.isfinite(np.asarray(result.ser_by_word)))
+
+
+def test_oversized_init_buffer_raises():
+    cfg = tiny_cfg(buffer_capacity=4, buffer_empty=False)
+    tx, rx, h = make_inputs(cfg)
+    engine = make_online_engine(cfg, DETECTORS["va"].detect, None)
+    with pytest.raises(ValueError, match="buffer_capacity"):
+        engine(None, tx, rx, h, jax.random.PRNGKey(0),
+               init_buffer_rx=rx, init_buffer_tx=rx)
