@@ -97,3 +97,18 @@ def test_dp_train_step_matches_single_device():
     assert np.allclose(float(loss_dp), float(loss), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p_dp), jax.tree_util.tree_leaves(p_single)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_trainer_mesh_shape_matches_plain_eval(tmp_path):
+    """Config.mesh_shape=(4,) dp-shards batch detection (with words-axis
+    padding for non-divisible word counts) and must bit-match the plain path."""
+    from metaviterbinet_tpu.config import Config
+    from metaviterbinet_tpu.evaluation.trainer import Trainer
+
+    base = dict(val_block_length=24, n_symbols=1, val_frames=1,
+                subframes_in_frame=5, weights_dir=str(tmp_path))
+    t_mesh = Trainer(Config(mesh_shape=(4,), **base), "vnet", verbose=False)
+    t_plain = Trainer(Config(**base), "vnet", verbose=False)
+    ser_mesh = t_mesh.single_eval_at_point(t_mesh.params, 10.0, 0.2)
+    ser_plain = t_plain.single_eval_at_point(t_mesh.params, 10.0, 0.2)
+    assert abs(ser_mesh - ser_plain) < 1e-6
