@@ -111,3 +111,15 @@ def test_clip_grad_norm_optimizer():
     opt0 = make_optimizer("SGD", 1.0, clip_grad_norm=0.0)
     updates0, _ = opt0.update(grads, opt0.init(params), params)
     assert float(jnp.linalg.norm(updates0["w"])) > 100.0
+
+
+def test_noisy_csi_degrades_va(tmp_path):
+    """noisy_est_var adds Gaussian noise to the decoder-side taps
+    (reference channel_estimation.py:35-36) — the full-CSI VA must degrade
+    monotonically-ish with CSI uncertainty."""
+    cfg = tiny_cfg(tmp_path, use_ecc=False, val_frames=8,
+                   val_SNR_start=12.0, val_SNR_end=12.0)
+    clean = Trainer(cfg, "va", verbose=False).single_eval_at_point(None, 12.0, cfg.gamma)
+    noisy_cfg = cfg.replace(noisy_est_var=0.3)
+    noisy = Trainer(noisy_cfg, "va", verbose=False).single_eval_at_point(None, 12.0, cfg.gamma)
+    assert noisy > clean + 0.01, (clean, noisy)
