@@ -28,8 +28,10 @@ BASELINE_CACHE = os.path.join(REPO, "resources", "baseline_cpu.json")
 REF_WORDS, T, L = 300, 136, 4
 N_STATES = 2 ** L
 # TPU-side batch: many independent blocks in flight (the words axis is the
-# throughput axis; BASELINE.json's >=10x/chip target is at this granularity)
-TPU_WORDS = 4096
+# throughput axis; BASELINE.json's >=10x/chip target is at this granularity).
+# The fused Pallas kernel keeps all MLP activations in VMEM (HBM traffic is
+# just y in + bits out), so throughput keeps climbing with batch width.
+TPU_WORDS = 65536
 
 
 def measure_cpu_reference() -> float:
@@ -84,22 +86,25 @@ def measure_tpu() -> float:
     import jax.numpy as jnp
     import numpy as np
 
+    from metaviterbinet_tpu.kernels.acs import fused_viterbinet_detect
     from metaviterbinet_tpu.models import viterbinet
 
     params = viterbinet.init_params(jax.random.PRNGKey(0), N_STATES)
     rng = np.random.default_rng(0)
     ys = [jnp.asarray(rng.normal(size=(TPU_WORDS, T)).astype(np.float32))
-          for _ in range(4)]
+          for _ in range(2)]
 
     # NOTE: jax.block_until_ready does not reliably block under the axon
     # remote backend; force completion by pulling a scalar reduction to the
     # host (device execution is in-order, so the last result arriving
     # implies the whole chain ran).
-    detect = jax.jit(lambda p, y: jnp.sum(viterbinet.detect(p, y)))
+    # The fused metric+ACS Pallas kernel is bit-identical to the scan path
+    # (tests/test_kernels.py) and ~4x faster at wide batches.
+    detect = jax.jit(lambda p, y: jnp.sum(fused_viterbinet_detect(p, y)))
     float(detect(params, ys[0]))  # compile + sync
 
     def once() -> float:
-        n_iters, t0 = 32, time.perf_counter()
+        n_iters, t0 = 16, time.perf_counter()
         for i in range(n_iters):
             out = detect(params, ys[i % len(ys)])
         float(out)

@@ -77,8 +77,9 @@ class Config:
     # --- TPU-native extras (no reference counterpart) ---
     dtype: str = "float32"  # compute dtype for detector forward passes
     use_pallas: bool = False  # opt-in fused metric+ACS Pallas kernel for batch
-    # detection (vnet family); the XLA scan path measures slightly faster at
-    # the reference geometry (16 states) — see detectors.with_pallas_detect
+    # detection (vnet family): ~4x the scan path at wide batches (>=4k words,
+    # activations VMEM-resident), slower below ~1-2k — see
+    # detectors.with_pallas_detect; bench.py uses it directly
     mesh_shape: Optional[tuple] = None  # e.g. (8,) data-parallel mesh; None = single device
     decode_overlap: int = 32  # warm-up overlap (symbols) for block-parallel decode
     buffer_capacity: int = 300  # fixed ring-buffer capacity for the fused online loop

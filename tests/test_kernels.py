@@ -74,3 +74,23 @@ def test_pallas_readout_breaks_ties_like_argmin():
     b = np.asarray(pallas_viterbi_decode(priors))
     assert a[0, 1] == 1.0  # argmin of tie {1,2,...} is state 1 -> bit 1
     np.testing.assert_array_equal(a, b)
+
+
+def test_fused_detect_wide_tile_agreement():
+    """W=512 exercises a 512-lane tile (tile width > LANE_W); the wide-tile
+    kernel must stay bit-identical to the scan path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from metaviterbinet_tpu.kernels.acs import _pick_tile_w, fused_viterbinet_detect
+    from metaviterbinet_tpu.models import viterbinet
+
+    assert _pick_tile_w(512) == 512
+    assert _pick_tile_w(4096 * 3) == 4096
+    assert _pick_tile_w(384) == 128
+    params = viterbinet.init_params(jax.random.PRNGKey(0), 16)
+    y = jnp.asarray(np.random.default_rng(3).normal(size=(512, 24)).astype(np.float32))
+    a = np.asarray(viterbinet.detect(params, y))
+    b = np.asarray(fused_viterbinet_detect(params, y))
+    np.testing.assert_array_equal(a, b)
