@@ -40,7 +40,7 @@ from metaviterbinet_tpu.paths import WEIGHTS_DIR
 from metaviterbinet_tpu.train.checkpoint import load_params, save_params
 from metaviterbinet_tpu.train.losses import make_loss_fn
 from metaviterbinet_tpu.train.loop import make_word_sweep
-from metaviterbinet_tpu.train.meta import make_maml_step
+from metaviterbinet_tpu.train.meta import make_maml_step, sorted_unique_mask
 from metaviterbinet_tpu.train.optim import make_optimizer
 
 
@@ -241,17 +241,32 @@ class Trainer:
 
         @jax.jit
         def run_pairs(params, opt_state, rx, tx_coded, j_hats):
-            def pair(carry, j):
-                params, opt_state = carry
-                supp = j + jnp.arange(-w, 0)
-                params, opt_state, loss = maml_step(
-                    params, opt_state,
-                    rx[supp], tx_coded[supp], rx[j[None]], tx_coded[j[None]],
-                )
-                return (params, opt_state), loss
+            # torch.unique semantics (trainer.py:404-406): ascending order,
+            # duplicate draws perform no update
+            j_hats, fresh = sorted_unique_mask(j_hats)
 
-            (params, opt_state), losses = jax.lax.scan(pair, (params, opt_state), j_hats)
-            return params, opt_state, jnp.mean(losses)
+            def pair(carry, inp):
+                j, is_fresh = inp
+
+                def do_pair(c):
+                    params, opt_state = c
+                    supp = j + jnp.arange(-w, 0)
+                    params, opt_state, loss = maml_step(
+                        params, opt_state,
+                        rx[supp], tx_coded[supp], rx[j[None]], tx_coded[j[None]],
+                    )
+                    return (params, opt_state), loss
+
+                carry, loss = jax.lax.cond(
+                    is_fresh, do_pair, lambda c: (c, 0.0), carry
+                )
+                return carry, loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                pair, (params, opt_state), (j_hats, fresh)
+            )
+            mean_loss = jnp.sum(losses) / jnp.maximum(jnp.sum(fresh), 1)
+            return params, opt_state, mean_loss
 
         for snr in cfg.snr_range("train"):
             snr = float(snr)
@@ -263,7 +278,7 @@ class Trainer:
                 tx_coded = rs_encode_bits(tx, cfg.n_symbols).astype(rx.dtype) \
                     if cfg.use_ecc else tx
                 # j_hat ~ unique(randint(window_size, n_words, [meta_j_num]))
-                # (trainer.py:404-406); duplicates just repeat a step
+                # (trainer.py:404-406); dedup happens inside run_pairs
                 j_hats = jax.random.randint(
                     self._next_key(), (cfg.meta_j_num,), w, n_words
                 )

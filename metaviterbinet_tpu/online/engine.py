@@ -19,6 +19,9 @@ Replicated quirks (SURVEY.md quirk ledger):
     count >= meta_subframes and len(buffer) > 2`;
   - support indices wrap negatively through the buffer end at j_hat = 0
     (torch negative indexing), replicated with mod-n_valid arithmetic;
+  - sampled query indices are deduped per meta iteration via torch.unique
+    (trainer.py:336-338), which also sorts ascending — duplicate draws
+    perform no update (common when the buffer is young);
   - SER is scored against the true transmitted word (also used as the
     confidence gate, trainer.py:301,319);
   - with `buffer_empty=False` the buffer starts full of train-channel words
@@ -35,6 +38,7 @@ import optax
 
 from metaviterbinet_tpu.config import Config
 from metaviterbinet_tpu.ecc.rs import rs_decode_bits, rs_encode_bits
+from metaviterbinet_tpu.train.meta import sorted_unique_mask
 
 
 class OnlineResult(NamedTuple):
@@ -133,21 +137,34 @@ def make_online_engine(
             j_hats = jax.random.randint(
                 key_i, (cfg.meta_j_num,), 0, jnp.maximum(n_valid - 2, 1)
             )
+            # the reference takes torch.unique of the draws (trainer.py:336-338),
+            # which sorts ascending AND drops duplicates — so with a young
+            # buffer (small n_valid) fewer than meta_j_num updates run per
+            # iteration
+            j_hats, fresh = sorted_unique_mask(j_hats)
 
-            def pair_step(carry, j_hat):
-                params, opt_state = carry
-                logical_s = (j_hat + jnp.arange(-w, 0)) % jnp.maximum(n_valid, 1)
-                phys_s = (start + logical_s) % cap
-                phys_q = (start + j_hat[None]) % cap
-                loss_q, meta_grads = jax.value_and_grad(maml_outer_loss)(
-                    params, buf_rx[phys_s], buf_tx[phys_s],
-                    buf_rx[phys_q], buf_tx[phys_q],
-                )
-                updates, opt_state = optimizer.update(meta_grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss_q
+            def pair_step(carry, inp):
+                j_hat, is_fresh = inp
 
-            (params, opt_state), _ = jax.lax.scan(pair_step, (params, opt_state), j_hats)
+                def do_pair(carry):
+                    params, opt_state = carry
+                    logical_s = (j_hat + jnp.arange(-w, 0)) % jnp.maximum(n_valid, 1)
+                    phys_s = (start + logical_s) % cap
+                    phys_q = (start + j_hat[None]) % cap
+                    _, meta_grads = jax.value_and_grad(maml_outer_loss)(
+                        params, buf_rx[phys_s], buf_tx[phys_s],
+                        buf_rx[phys_q], buf_tx[phys_q],
+                    )
+                    updates, opt_state = optimizer.update(meta_grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return params, opt_state
+
+                carry = jax.lax.cond(is_fresh, do_pair, lambda c: c, carry)
+                return carry, None
+
+            (params, opt_state), _ = jax.lax.scan(
+                pair_step, (params, opt_state), (j_hats, fresh)
+            )
             return (params, opt_state), None
 
         keys = jax.random.split(key, cfg.meta_train_iterations)

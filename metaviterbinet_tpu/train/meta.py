@@ -15,6 +15,19 @@ import jax.numpy as jnp
 import optax
 
 
+def sorted_unique_mask(j_hats: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """`torch.unique` semantics under static shapes (trainer.py:336-338,
+    404-406): the reference dedupes the sampled query indices each meta
+    iteration, so duplicate draws mean FEWER (support, query) updates — and
+    iterates them in ascending order. Returns (sorted j_hats, first-occurrence
+    mask); masked-out entries must perform no update."""
+    j_sorted = jnp.sort(j_hats)
+    fresh = jnp.concatenate(
+        [jnp.ones((1,), bool), j_sorted[1:] != j_sorted[:-1]]
+    )
+    return j_sorted, fresh
+
+
 def make_maml_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
                    meta_lr: float, second_order: bool):
     """Returns step(params, opt_state, s_rx, s_tx, q_rx, q_tx) -> (params, opt_state, loss_q).

@@ -66,7 +66,8 @@ MODE_KWARGS = {
 }
 
 
-def cell_kwargs(mode: str, snr: float, seed: int) -> dict:
+def cell_kwargs(mode: str, snr: float, seed: int,
+                channel: str = "time_decay") -> dict:
     kw = dict(MODE_KWARGS[mode])
     kw.update(
         use_ecc=True, n_symbols=2,
@@ -77,20 +78,43 @@ def cell_kwargs(mode: str, snr: float, seed: int) -> dict:
         noise_seed=3450002 + 1000 * seed,
         word_seed=7860002 + 1000 * seed,
     )
+    if channel == "cost2100":
+        # plotter_main.py:124,137-138 protocol: measured taps, no extra
+        # multiplicative fading on the val channel (train stays time_decay
+        # type-1 via train-on-miss, trainer.py:195).
+        kw.update(channel_coefficients="cost2100", fading_in_channel=False)
     return kw
 
 
-def run_reference(detector: str, mode: str, snr: float, seed: int) -> dict:
+def cell_name(detector: str, mode: str, snr: float, seed: int,
+              channel: str) -> str:
+    # time_decay keeps the round-1 name so cached cells stay valid
+    tag = "" if channel == "time_decay" else f"_{channel}"
+    return f"{detector}_{mode}{tag}_{snr}_{seed}"
+
+
+def run_reference(detector: str, mode: str, snr: float, seed: int,
+                  channel: str) -> dict:
     sys.path.insert(0, REF_RUN)
     import contextlib
     import importlib
+    import shutil
 
     import numpy as np
 
+    if channel == "cost2100":
+        # the reference loader asks for combined_h_{i}.mat but the repo ships
+        # h_{i}.mat (channel_estimation.py:28 quirk) — alias them in the copy
+        cdir = os.path.join(REF_RUN, "resources", "cost2100_channel")
+        for i in range(4):
+            dst = os.path.join(cdir, f"combined_h_{i}.mat")
+            if not os.path.isfile(dst):
+                shutil.copyfile(os.path.join(cdir, f"h_{i}.mat"), dst)
+
     mod, cls = REF_TRAINERS[detector]
     trainer_cls = getattr(importlib.import_module(mod), cls)
-    kw = cell_kwargs(mode, snr, seed)
-    kw["run_name"] = f"parity_{detector}_{mode}_snr{snr}_s{seed}"
+    kw = cell_kwargs(mode, snr, seed, channel)
+    kw["run_name"] = "parity_" + cell_name(detector, mode, snr, seed, channel)
     os.makedirs(os.path.join(REF_RUN, "results", "weights", kw["run_name"]),
                 exist_ok=True)
     with open(os.devnull, "w") as devnull, contextlib.redirect_stdout(devnull):
@@ -100,7 +124,8 @@ def run_reference(detector: str, mode: str, snr: float, seed: int) -> dict:
     return summarize(sers, data_idx, mode)
 
 
-def run_ours(detector: str, mode: str, snr: float, seed: int) -> dict:
+def run_ours(detector: str, mode: str, snr: float, seed: int,
+             channel: str) -> dict:
     sys.path.insert(0, REPO)
     import jax
 
@@ -110,8 +135,8 @@ def run_ours(detector: str, mode: str, snr: float, seed: int) -> dict:
     from metaviterbinet_tpu.config import Config
     from metaviterbinet_tpu.evaluation.trainer import Trainer
 
-    kw = cell_kwargs(mode, snr, seed)
-    kw["run_name"] = f"parity_{detector}_{mode}_snr{snr}_s{seed}"
+    kw = cell_kwargs(mode, snr, seed, channel)
+    kw["run_name"] = "parity_" + cell_name(detector, mode, snr, seed, channel)
     cfg = Config(**kw)
     wdir = os.path.join("/tmp/ours_weights", kw["run_name"])
     t = Trainer(cfg, detector, weights_dir=wdir, verbose=False)
@@ -135,13 +160,15 @@ def summarize(sers, data_idx, mode: str) -> dict:
 
 
 # --------------------------------------------------------------- orchestration
-def spawn(side: str, detector: str, mode: str, snr: float, seed: int):
-    out = os.path.join(OUT_DIR, f"{side}_{detector}_{mode}_{snr}_{seed}.json")
+def spawn(side: str, detector: str, mode: str, snr: float, seed: int,
+          channel: str):
+    out = os.path.join(
+        OUT_DIR, f"{side}_{cell_name(detector, mode, snr, seed, channel)}.json")
     if os.path.isfile(out):
         return None, out  # cached from an earlier invocation
     cmd = [sys.executable, os.path.abspath(__file__), "--side", side,
            "--detector", detector, "--mode", mode, "--snr", str(snr),
-           "--seed", str(seed), "--out", out]
+           "--seed", str(seed), "--channel", channel, "--out", out]
     env = dict(os.environ, OMP_NUM_THREADS="1", MKL_NUM_THREADS="1")
     log = open(out + ".log", "w")
     proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT, env=env)
@@ -154,7 +181,7 @@ def orchestrate(args):
     os.makedirs(OUT_DIR, exist_ok=True)
     cells = [(side, d, m, args.snr, s)
              for d in args.detectors for m in args.modes
-             for s in range(args.seeds) for side in ("ref", "ours")]
+             for s in range(args.seeds) for side in args.sides]
     results: dict[str, dict] = {}
     running: list[tuple] = []
     queue = list(cells)
@@ -184,7 +211,7 @@ def orchestrate(args):
             side, d, m, snr, s = queue.pop(0)
             if side == "ref" and not os.path.isdir(REF_RUN):
                 raise SystemExit(f"reference copy missing: cp -r /root/reference {REF_RUN}")
-            proc, out = spawn(side, d, m, snr, s)
+            proc, out = spawn(side, d, m, snr, s, args.channel)
             if proc is None:  # cached
                 with open(out) as f:
                     results[f"{side}_{d}_{m}_{s}"] = json.load(f)
@@ -215,7 +242,12 @@ def orchestrate(args):
                 var_seed += sum((x - mo) ** 2 for x in ours) / (len(ours) - 1) / len(ours)
             sigma = math.sqrt(2 * sig_bin ** 2 + var_seed)
             z = abs(mo - mr) / sigma if sigma else float("inf")
-            verdict = "PARITY" if (z < 3 or mo <= mr) else "DIVERGENT"
+            # symmetric test: a significant deviation is flagged in either
+            # direction; "BETTER" (ours significantly lower) is still visible
+            if z < 3:
+                verdict = "PARITY"
+            else:
+                verdict = "BETTER" if mo < mr else "DIVERGENT"
             report[f"{d}_{m}"] = {
                 "ref": refs, "ours": ours, "ref_mean": mr, "ours_mean": mo,
                 "z": round(z, 2), "verdict": verdict,
@@ -242,12 +274,16 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--seeds", type=int, default=2)
     ap.add_argument("--jobs", type=int, default=2)
+    ap.add_argument("--channel", choices=["time_decay", "cost2100"],
+                    default="time_decay")
+    ap.add_argument("--sides", nargs="+", default=["ref", "ours"],
+                    choices=["ref", "ours"])
     ap.add_argument("--out", type=str)
     args = ap.parse_args()
 
     if args.side:  # worker
         fn = run_reference if args.side == "ref" else run_ours
-        res = fn(args.detector, args.mode, args.snr, args.seed)
+        res = fn(args.detector, args.mode, args.snr, args.seed, args.channel)
         with open(args.out, "w") as f:
             json.dump(res, f)
         print(json.dumps(res))

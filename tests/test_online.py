@@ -139,6 +139,61 @@ def test_weights_init_policies():
     assert np.all(np.isfinite(np.asarray(r2.ser_by_word)))
 
 
+def test_sorted_unique_mask_matches_numpy_unique():
+    """Helper == np.unique on the surviving entries (order + count)."""
+    from metaviterbinet_tpu.train.meta import sorted_unique_mask
+
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        draws = rng.randint(0, rng.randint(1, 12), size=10)
+        j, fresh = sorted_unique_mask(jnp.asarray(draws))
+        kept = np.asarray(j)[np.asarray(fresh)]
+        np.testing.assert_array_equal(kept, np.unique(draws))
+
+
+def test_meta_adapt_effective_update_count_unique_jhat():
+    """The engine must perform exactly len(unique(j_hats)) updates per meta
+    iteration (trainer.py:336-338), not meta_j_num. Counted with a constant-
+    gradient loss + SGD against a NumPy oracle replaying the PRNG stream."""
+    lr = 0.5
+    cfg = tiny_cfg(self_supervised=False, online_meta=True, ser_thresh=1.0,
+                   weights_init="last_frame", optimizer_type="SGD", lr=lr,
+                   meta_train_iterations=3, meta_j_num=6, meta_subframes=3)
+    tx, rx, h = make_inputs(cfg)
+    n_words = tx.shape[0]
+
+    detect_fn = lambda params, rx, h: jnp.zeros_like(rx)
+    # loss == params: inner grad = 1, theta' = theta - meta_lr, outer grad = 1
+    # -> every FRESH pair step moves params by exactly -lr under SGD
+    loss_fn = lambda p, rx, tx, key: p * 1.0
+    engine = make_online_engine(cfg, detect_fn, loss_fn)
+    p0 = jnp.float32(0.0)
+    key = jax.random.PRNGKey(7)
+    result = engine(p0, tx, rx, h, key)
+    got_updates = round(float(-result.params) / lr)
+
+    # oracle: replay the engine's split/draw sequence, count unique draws
+    expected = 0
+    n_valid = 0
+    k = key
+    for count in range(n_words):
+        n_valid += 1  # thresh 1.0: every word (incl. pilots) appends
+        k, _k_init, k_meta = jax.random.split(k, 3)
+        if count % cfg.meta_subframes == 0 and count >= cfg.meta_subframes \
+                and n_valid > 2:
+            for key_i in jax.random.split(k_meta, cfg.meta_train_iterations):
+                draws = jax.random.randint(
+                    key_i, (cfg.meta_j_num,), 0, max(n_valid - 2, 1))
+                expected += len(np.unique(np.asarray(draws)))
+    assert expected > 0
+    # with young buffers (n_valid-2 as low as 2) duplicates must occur,
+    # so the quirk actually bites in this configuration
+    fired = sum(1 for c in range(n_words)
+                if c % cfg.meta_subframes == 0 and c >= cfg.meta_subframes)
+    assert expected < fired * cfg.meta_train_iterations * cfg.meta_j_num
+    assert got_updates == expected
+
+
 def test_buffer_saturation_drops_oldest():
     """Past buffer_capacity the empty-start buffer degrades to drop-oldest
     (the reference buffer grows unboundedly, trainer.py:320-325); n_buffer
