@@ -37,13 +37,17 @@ def _parse_set_overrides(pairs):
         elif isinstance(current, float):
             out[key] = float(raw)
         elif current is None:
-            # Optional fields (e.g. mesh_shape tuple, weights_dir str): parse
-            # python literals when they look like one, else keep the string
+            # Optional fields (e.g. use_pallas tri-state, mesh_shape tuple,
+            # weights_dir str): accept bool words, then python literals, else
+            # keep the string
             import ast
-            try:
-                out[key] = ast.literal_eval(raw)
-            except (ValueError, SyntaxError):
-                out[key] = raw
+            if raw.lower() in ("true", "false"):
+                out[key] = raw.lower() == "true"
+            else:
+                try:
+                    out[key] = ast.literal_eval(raw)
+                except (ValueError, SyntaxError):
+                    out[key] = raw
         else:
             out[key] = raw
     return out

@@ -76,10 +76,11 @@ class Config:
 
     # --- TPU-native extras (no reference counterpart) ---
     dtype: str = "float32"  # compute dtype for detector forward passes
-    use_pallas: bool = False  # opt-in fused metric+ACS Pallas kernel for batch
-    # detection (vnet family): ~4x the scan path at wide batches (>=4k words,
-    # activations VMEM-resident), slower below ~1-2k — see
-    # detectors.with_pallas_detect; bench.py uses it directly
+    use_pallas: Optional[bool] = None  # fused metric+ACS Pallas kernel for
+    # batch detection (vnet family). None = auto: on when the backend is TPU
+    # (the kernel wins at every batch width there — 55 vs 52 M sym/s at the
+    # protocol's 384-padded words, 1.75 B vs 0.4 B at 65536), off elsewhere
+    # (interpret mode is for semantics tests). True/False force it.
     mesh_shape: Optional[tuple] = None  # e.g. (8,) data-parallel mesh; None = single device
     decode_overlap: int = 32  # warm-up overlap (symbols) for block-parallel decode
     buffer_capacity: int = 300  # fixed ring-buffer capacity for the fused online loop

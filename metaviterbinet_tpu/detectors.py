@@ -92,14 +92,16 @@ _MODEL_OF = {"vnet": viterbinet, "meta_vnet": viterbinet,
 
 def with_pallas_detect(spec: DetectorSpec) -> DetectorSpec:
     """Specialize a ViterbiNet-family spec to the fused Pallas metric+ACS
-    kernel for batch detection (Config.use_pallas).
+    kernel for batch detection (Config.use_pallas; None = auto-on for TPU).
 
     The kernel wants the words axis padded to a lane multiple (128); the
     wrapper pads and slices. Off-TPU it runs in interpret mode (slow — meant
-    for semantics tests only). Measured on TPU v5e: the kernel wins big at
-    wide batches (1.5 B sym/s at 65536 words vs the scan's ~0.3 B — all
-    activations stay in VMEM) but loses below ~1-2k words where its tile
-    shrinks to 128 lanes; eval batches are small (300 words), hence opt-in.
+    for semantics tests only). Measured on TPU v5e: since the whole batch
+    runs as ONE wide tile (kernels/acs.py::_pick_tile_w — grid steps would
+    serialize), the kernel wins at every batch width: 55 vs 52 M sym/s at
+    the protocol's 384 padded words, 164 vs 132 M at 1024, 468 vs 406 M at
+    4096, and 1.75 B vs ~0.4 B at 65536 where all MLP activations stay in
+    VMEM.
     """
     if spec.name not in ("vnet", "meta_vnet"):
         return spec

@@ -73,7 +73,12 @@ class Trainer:
         # the online engine detects one word per block — keep it on the scan
         # path even when the (batch-oriented) Pallas kernel is enabled
         self._engine_detect = self.spec.detect
-        if cfg.use_pallas:
+        # use_pallas tri-state: None = auto (the fused kernel wins at every
+        # batch width on TPU; interpret mode elsewhere is for tests only)
+        use_pallas = cfg.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
             self.spec = with_pallas_detect(self.spec)
         if cfg.mesh_shape:
             # data-parallel batch detection over a device mesh (words axis);
@@ -84,8 +89,12 @@ class Trainer:
             from metaviterbinet_tpu.parallel.mesh import make_mesh
 
             n_dev = int(_np.prod(cfg.mesh_shape))
+            # pallas_call under bare GSPMD sharding is unsupported — route the
+            # kernel through shard_map so each device runs it on its local
+            # words shard (pad-to-128 then happens per shard)
             self._detect_batch = shard_words_decode(
-                make_mesh((n_dev,), ("dp",)), self.spec.detect)
+                make_mesh((n_dev,), ("dp",)), self.spec.detect,
+                via_shard_map=use_pallas)
         else:
             self._detect_batch = jax.jit(self.spec.detect)
 
@@ -223,7 +232,8 @@ class Trainer:
                 self._metric("train_minibatch", snr=snr, minibatch=minibatch,
                              ser=ser, loss=float(loss))
                 if ser < best_ser:
-                    self.save_weights(params, float(loss), snr, cfg.gamma)
+                    self.save_weights(params, float(loss), snr, cfg.gamma,
+                                      opt_state=opt_state)
                     best_ser = ser
             self._log(f"best ser - {best_ser}")
         self.params = self.load_weights(float(cfg.snr_range("train")[-1]), cfg.gamma)
@@ -289,13 +299,16 @@ class Trainer:
                              ser=ser, loss=float(loss))
                 # the reference saves unconditionally every minibatch — the
                 # LAST minibatch's weights seed evaluation (trainer.py:420-423)
-                self.save_weights(params, float(loss), snr, cfg.gamma)
+                self.save_weights(params, float(loss), snr, cfg.gamma,
+                                  opt_state=opt_state)
         self.params = self.load_weights(float(cfg.snr_range("train")[-1]), cfg.gamma)
         return self.params
 
     # ------------------------------------------------------------ checkpoints
-    def save_weights(self, params, loss: float, snr: float, gamma: float):
-        save_params(self.weights_dir, snr, gamma, params, loss)
+    def save_weights(self, params, loss: float, snr: float, gamma: float,
+                     opt_state=None):
+        save_params(self.weights_dir, snr, gamma, params, loss,
+                    opt_state=opt_state)
 
     def load_weights(self, snr: float, gamma: float):
         """Load the (snr, gamma) checkpoint; on miss, train on the synthetic

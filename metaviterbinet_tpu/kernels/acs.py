@@ -26,8 +26,11 @@ every MLP activation round-trips HBM). This kernel keeps all activations in
 VMEM (HBM traffic = y in + bits out, ~8 B/symbol) and runs the metric
 matmuls at full MXU width via wide word tiles (up to 4096 lanes): 543 M
 sym/s at a 4096-word batch, **1.51 B sym/s** at 65536 words — ~4× the scan
-and ~25,000× the reference CPU loop — while staying bit-identical to the
-scan path (tests/test_kernels.py, including exact-tie readout).
+and ~25,000× the reference CPU loop. Output parity: the fused path is
+bit-identical to the scan path on TPU (where the scan's matmuls are also
+bf16) and near-identical under CPU interpret (<1e-3 near-tie bit flips from
+different bf16 rounding); the priors-in decode kernel is bit-identical
+everywhere, including exact-tie readout (tests/test_kernels.py).
 """
 from __future__ import annotations
 
@@ -111,13 +114,26 @@ def _detect_kernel(y_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     out_ref[:] = jnp.concatenate(rows, axis=0)         # [T, tile_w]
 
 
-MAX_TILE_W = 4096  # lanes per kernel instance (VMEM: ~2.2MB y + ~2.5MB transients)
+MAX_TILE_W = 4096          # lanes per kernel instance at the default T~136
+VMEM_TILE_BUDGET = 12 << 20  # bytes for y + out + per-step transients
 
 
-def _pick_tile_w(W: int) -> int:
-    tw = MAX_TILE_W
+def _pick_tile_w(W: int, T: int) -> int:
+    """Widest words tile that (a) divides W, (b) is a lane multiple, and
+    (c) fits the VMEM budget at this T.
+
+    Grid steps serialize on the core, so a 384-word batch must run as ONE
+    384-lane tile, not three 128-lane steps. The budget accounts for the y
+    tile (T x tw f32), the out tile (T x tw), and ~256 rows of per-step MLP/
+    ACS transients — tile width shrinks automatically when T grows (a fixed
+    4096 assumed T~136 and could blow VMEM at long block lengths)."""
+    cap = min(MAX_TILE_W, VMEM_TILE_BUDGET // ((2 * T + 256) * 4))
+    cap = max(LANE_W, (cap // LANE_W) * LANE_W)
+    if W <= cap:
+        return W
+    tw = (cap // LANE_W) * LANE_W
     while tw > LANE_W and W % tw != 0:
-        tw //= 2
+        tw -= LANE_W
     return tw
 
 
@@ -135,13 +151,14 @@ def fused_viterbinet_detect(params, y):
     matmuls then run at full MXU width and every activation stays in VMEM —
     total HBM traffic is just y in + bits out (~8 B/symbol), an order of
     magnitude below the unfused scan path's activation round-trips.
-    Bit-identical to the scan path (tests/test_kernels.py).
+    Bit-identical to the scan path on TPU (both run bf16 matmuls);
+    near-identical under CPU interpret (tests/test_kernels.py).
     """
     W, T = y.shape
     n_states = params["w3"].shape[0]
     if W % LANE_W != 0:
         raise ValueError(f"W={W} must be a multiple of {LANE_W}")
-    tile_w = _pick_tile_w(W)
+    tile_w = _pick_tile_w(W, T)
     kernel = functools.partial(_detect_kernel, n_states=n_states, T=T,
                                tile_w=tile_w)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -25,24 +25,38 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from metaviterbinet_tpu.ops.trellis import viterbi_decode, viterbi_decode_with_metrics
 
 
-def shard_words_decode(mesh: Mesh, detect_fn):
+def shard_words_decode(mesh: Mesh, detect_fn, via_shard_map: bool = False):
     """Data-parallel detection: shard the words axis over the 'dp' mesh axis.
 
     detect_fn(params, y, h) -> bits; params replicated, y/h words-sharded.
     Independent transmission blocks are embarrassingly parallel — XLA needs
     no collectives, just the sharding annotations.
+
+    via_shard_map=True runs detect_fn per-shard under `jax.shard_map` instead
+    of GSPMD-partitioning its body — required when detect_fn contains a
+    `pallas_call` (Pallas kernels don't partition under bare GSPMD; inside
+    shard_map each device sees only its local words block).
     """
     repl = NamedSharding(mesh, P())
     rows = NamedSharding(mesh, P("dp"))
     n_dp = mesh.shape["dp"]
 
-    @functools.partial(
-        jax.jit,
-        in_shardings=(repl, rows, rows),
-        out_shardings=rows,
-    )
-    def run_sharded(params, y, h):
-        return detect_fn(params, y, h)
+    if via_shard_map:
+        # check_vma=False: pallas_call's output avals carry no varying-mesh
+        # annotation, which the default vma check rejects
+        run_sharded = jax.jit(jax.shard_map(
+            detect_fn, mesh=mesh,
+            in_specs=(P(), P("dp"), P("dp")), out_specs=P("dp"),
+            check_vma=False,
+        ))
+    else:
+        @functools.partial(
+            jax.jit,
+            in_shardings=(repl, rows, rows),
+            out_shardings=rows,
+        )
+        def run_sharded(params, y, h):
+            return detect_fn(params, y, h)
 
     def run(params, y, h):
         # pad the words axis to a dp multiple (sharded dims must divide)

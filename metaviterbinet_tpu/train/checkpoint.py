@@ -1,6 +1,12 @@
 """Checkpointing keyed by (snr, gamma) with the reference's naming scheme
 (reference trainer.py:507-532: snr_{snr}_gamma_{gamma}.pt; ours .msgpack).
 
+The payload mirrors the reference artifact shape {model_state_dict,
+optimizer_state_dict, loss} (trainer.py:507-511): params + loss + optimizer
+state. Like the reference (trainer.py:526-528 restores the model only),
+evaluation paths restore params alone; `load_opt_state` exists for
+resume-mid-train fidelity.
+
 Train-on-miss semantics live in the Trainer (switch to the synthetic channel,
 train, switch back).
 """
@@ -9,7 +15,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
 from flax import serialization
 
 
@@ -18,21 +23,40 @@ def ckpt_path(weights_dir: str, snr: float, gamma: float) -> str:
 
 
 def save_params(weights_dir: str, snr: float, gamma: float, params: Any,
-                loss: float = 0.0) -> str:
+                loss: float = 0.0, opt_state: Any = None) -> str:
     os.makedirs(weights_dir, exist_ok=True)
     path = ckpt_path(weights_dir, snr, gamma)
-    payload = {"params": params, "loss": loss}
+    payload = {"params": serialization.to_state_dict(params), "loss": loss}
+    if opt_state is not None:
+        payload["opt_state"] = serialization.to_state_dict(opt_state)
     with open(path, "wb") as f:
-        f.write(serialization.to_bytes(payload))
+        f.write(serialization.msgpack_serialize(payload))
     return path
+
+
+def _restore(weights_dir: str, snr: float, gamma: float) -> Optional[dict]:
+    path = ckpt_path(weights_dir, snr, gamma)
+    if not os.path.isfile(path):
+        return None
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
 
 
 def load_params(weights_dir: str, snr: float, gamma: float,
                 template: Any) -> Optional[Any]:
     """Returns params restored into the template's pytree structure, or None."""
-    path = ckpt_path(weights_dir, snr, gamma)
-    if not os.path.isfile(path):
+    raw = _restore(weights_dir, snr, gamma)
+    if raw is None:
         return None
-    with open(path, "rb") as f:
-        payload = serialization.from_bytes({"params": template, "loss": 0.0}, f.read())
-    return jax.tree_util.tree_map(lambda x: x, payload["params"])
+    return serialization.from_state_dict(template, raw["params"])
+
+
+def load_opt_state(weights_dir: str, snr: float, gamma: float,
+                   template: Any) -> Optional[Any]:
+    """Restore the optimizer state (e.g. Adam moments) into `template`
+    (typically `optimizer.init(params)`). Returns None when the checkpoint
+    is missing or predates opt-state payloads."""
+    raw = _restore(weights_dir, snr, gamma)
+    if raw is None or "opt_state" not in raw:
+        return None
+    return serialization.from_state_dict(template, raw["opt_state"])

@@ -8,6 +8,7 @@ import pytest
 from metaviterbinet_tpu.kernels.acs import (
     fused_viterbinet_detect,
     pallas_viterbi_decode,
+    _pick_tile_w,
     _route_matrix,
 )
 from metaviterbinet_tpu.models import viterbinet
@@ -76,21 +77,27 @@ def test_pallas_readout_breaks_ties_like_argmin():
     np.testing.assert_array_equal(a, b)
 
 
+def test_pick_tile_w():
+    T = 136  # protocol block length incl. parity
+    # whole batch in one tile whenever it fits (grid steps serialize)
+    assert _pick_tile_w(512, T) == 512
+    assert _pick_tile_w(384, T) == 384
+    assert _pick_tile_w(4096 * 3, T) == 4096
+    # the tile must divide W and stay a lane multiple
+    assert _pick_tile_w(4096 + 128, T) in range(128, 4097, 128)
+    assert (4096 + 128) % _pick_tile_w(4096 + 128, T) == 0
+    # long block lengths shrink the tile to fit the VMEM budget
+    assert _pick_tile_w(65536, 4096) < _pick_tile_w(65536, 136)
+    assert _pick_tile_w(65536, 4096) * (2 * 4096 + 256) * 4 <= (12 << 20)
+
+
 def test_fused_detect_wide_tile_agreement():
-    """W=512 exercises a 512-lane tile (tile width > LANE_W); the wide-tile
-    kernel must stay bit-identical to the scan path."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from metaviterbinet_tpu.kernels.acs import _pick_tile_w, fused_viterbinet_detect
-    from metaviterbinet_tpu.models import viterbinet
-
-    assert _pick_tile_w(512) == 512
-    assert _pick_tile_w(4096 * 3) == 4096
-    assert _pick_tile_w(384) == 128
+    """W=512 exercises a 512-lane tile (tile width > LANE_W). The kernel's
+    metric MLP runs in bf16 (same as the scan path's matmuls on TPU, but CPU
+    interpret rounds differently): allow the same rare near-tie bit flips as
+    test_fused_detect_matches_xla_path."""
     params = viterbinet.init_params(jax.random.PRNGKey(0), 16)
     y = jnp.asarray(np.random.default_rng(3).normal(size=(512, 24)).astype(np.float32))
     a = np.asarray(viterbinet.detect(params, y))
     b = np.asarray(fused_viterbinet_detect(params, y))
-    np.testing.assert_array_equal(a, b)
+    assert np.mean(a != b) < 1e-3

@@ -50,6 +50,41 @@ def test_words_sharded_decode_matches_single_device():
     np.testing.assert_array_equal(sharded, single)
 
 
+def test_shard_map_pallas_detect_matches_single_device():
+    """ADVICE A3: use_pallas + mesh_shape must compose — the Pallas-wrapped
+    detect runs per-shard under shard_map (pad-to-128 happens per local
+    block), matching the single-device fused kernel."""
+    from metaviterbinet_tpu.detectors import DETECTORS, with_pallas_detect
+    from metaviterbinet_tpu.models import viterbinet
+
+    mesh = make_mesh((8,), ("dp",))
+    spec = with_pallas_detect(DETECTORS["vnet"])
+    params = viterbinet.init_params(jax.random.PRNGKey(0), 16)
+    rng = np.random.default_rng(5)
+    W, T = 16, 48
+    y = jnp.asarray(rng.normal(size=(W, T)).astype(np.float32))
+    h = jnp.zeros((W, 4), jnp.float32)  # unused by vnet detect
+    run = shard_words_decode(mesh, spec.detect, via_shard_map=True)
+    sharded = np.asarray(run(params, y, h))
+    single = np.asarray(spec.detect(params, y, h))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_use_pallas_auto_resolution():
+    """use_pallas=None resolves to scan off-TPU and kernel on TPU."""
+    from metaviterbinet_tpu.config import Config
+    from metaviterbinet_tpu.detectors import DETECTORS
+    from metaviterbinet_tpu.evaluation.trainer import Trainer
+
+    cfg = Config(val_block_length=24, n_symbols=1, val_frames=1,
+                 subframes_in_frame=5)
+    assert cfg.use_pallas is None
+    t = Trainer(cfg, "vnet", verbose=False)  # CPU backend in tests
+    assert t.spec.detect is DETECTORS["vnet"].detect
+    t2 = Trainer(cfg.replace(use_pallas=True), "vnet", verbose=False)
+    assert t2.spec.detect is not DETECTORS["vnet"].detect
+
+
 def test_sequence_parallel_equals_sequential():
     """The N4 invariant: block-parallel decode with warm-up == sequential."""
     mesh = make_mesh((8,), ("sp",))

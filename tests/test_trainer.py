@@ -43,6 +43,39 @@ def test_vnet_train_improves_and_checkpoints(tmp_path):
     assert abs(ser_restored - ser_trained) < 0.1
 
 
+def test_checkpoint_round_trips_opt_state(tmp_path):
+    """Payload mirrors the reference's {model, optimizer, loss} artifact
+    (trainer.py:507-511): Adam moments must round-trip bit-exactly, and
+    params-only loads of the same file must keep working."""
+    import jax
+    import jax.numpy as jnp
+
+    from metaviterbinet_tpu.train.checkpoint import (
+        load_opt_state, load_params, save_params,
+    )
+    from metaviterbinet_tpu.train.optim import make_optimizer
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((3,))}
+    opt = make_optimizer("Adam", 1e-3, 0.0)
+    opt_state = opt.init(params)
+    # advance the moments so they are non-trivial
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    _, opt_state = opt.update(grads, opt_state, params)
+
+    save_params(str(tmp_path), 10.0, 0.2, params, loss=1.5, opt_state=opt_state)
+    p2 = load_params(str(tmp_path), 10.0, 0.2, params)
+    o2 = load_opt_state(str(tmp_path), 10.0, 0.2, opt.init(params))
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(opt_state), jax.tree_util.tree_leaves(o2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a params-only checkpoint (pre-opt_state format) restores opt_state None
+    save_params(str(tmp_path), 11.0, 0.2, params, loss=0.0)
+    assert load_opt_state(str(tmp_path), 11.0, 0.2, opt.init(params)) is None
+    assert load_params(str(tmp_path), 12.0, 0.2, params) is None  # missing
+
+
 def test_vnet_by_word_eval_runs(tmp_path):
     cfg = tiny_cfg(tmp_path, eval_mode="by_word", self_supervised=True)
     t = Trainer(cfg, "vnet", verbose=False)
