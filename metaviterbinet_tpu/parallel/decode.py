@@ -70,13 +70,19 @@ def shard_words_decode(mesh: Mesh, detect_fn, via_shard_map: bool = False):
     return run
 
 
-def sequence_parallel_decode(mesh: Mesh, overlap: int):
+def sequence_parallel_decode(mesh: Mesh, overlap: int,
+                             words_axis: str | None = None):
     """Block-parallel greedy Viterbi over the time axis.
 
     Returns run(priors [W, T, S]) -> bits [W, T], with T sharded over the
     'sp' mesh axis. Exact equality with sequential decode holds when
     `overlap` exceeds the trellis forgetting depth (enforced statistically by
     tests; use >= 8·memory_length in production).
+
+    words_axis: optionally also shard the words axis over another mesh axis
+    (e.g. 'dp') for 2D hosts x chips parallelism — words across hosts (no
+    communication), time across each host's ICI chips (the ppermute boundary
+    exchange stays intra-host).
     """
 
     def local_decode(priors):
@@ -102,7 +108,7 @@ def sequence_parallel_decode(mesh: Mesh, overlap: int):
     def run(priors):
         return jax.shard_map(
             local_decode, mesh=mesh,
-            in_specs=P(None, "sp", None), out_specs=P(None, "sp"),
+            in_specs=P(words_axis, "sp", None), out_specs=P(words_axis, "sp"),
         )(priors)
 
     return run

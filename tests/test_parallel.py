@@ -95,6 +95,32 @@ def test_sequence_parallel_equals_sequential():
     np.testing.assert_array_equal(par, seq)
 
 
+def test_multihost_mesh_emulation_and_2d_decode():
+    """make_multihost_mesh single-process emulation: (hosts, chips) grid;
+    2D decode (words over the hosts axis, time over each host's chips) must
+    equal sequential decode exactly — the layout a real pod would run."""
+    from metaviterbinet_tpu.parallel.mesh import make_multihost_mesh
+
+    mesh = make_multihost_mesh(chips_per_host=4)  # (2, 4) on 8 devices
+    assert dict(mesh.shape) == {"dp": 2, "sp": 4}
+    priors, _ = _make_priors(W=4, T=512)
+    seq = np.asarray(viterbi_decode(priors))
+    run = sequence_parallel_decode(mesh, overlap=32, words_axis="dp")
+    par = np.asarray(run(priors))
+    np.testing.assert_array_equal(par, seq)
+
+    with np.testing.assert_raises(ValueError):
+        make_multihost_mesh(chips_per_host=3)  # 8 % 3 != 0
+
+
+def test_init_distributed_single_process_noop():
+    """No coordinator configured and one process: must be a clean no-op."""
+    from metaviterbinet_tpu.parallel.mesh import init_distributed
+
+    init_distributed()
+    assert jax.process_count() == 1
+
+
 def test_chunked_reference_equals_sequential():
     priors, _ = _make_priors(W=4, T=1024)
     seq = np.asarray(viterbi_decode(priors))
