@@ -241,3 +241,29 @@ def rs_decode_bits(bits: jnp.ndarray, nsym: int):
         out = out.reshape(*rx.shape[:-1], rx.shape[-1] - nsym)
         flag = flag.reshape(rx.shape[:-1])
     return bytes_to_bits(out), flag
+
+
+def rs_decode_bits_host(bits, nsym: int):
+    """Host-side batch decode for eval paths that already left the device.
+
+    Prefers the native C++ batch codec (native/rs.py) — it skips this
+    decoder's heavy XLA CPU compile entirely and decodes the protocol batch
+    in microseconds — and falls back to the jittable path when the native
+    library is unavailable. Both are bit-identical to the reference scalar
+    decoder including silent miscorrection (tests/test_native_rs.py,
+    tests/test_ecc.py; differential fuzz in
+    resources/reference_baselines.json). Returns numpy
+    (decoded_bits [..., n-8*nsym] float32, uncorrectable_flags [...]).
+    """
+    from metaviterbinet_tpu.native.rs import native_available, rs_decode_bytes_batch
+
+    if not native_available():
+        out, flag = rs_decode_bits(jnp.asarray(bits), nsym)
+        return np.asarray(out, dtype=np.float32), np.asarray(flag)
+    arr = np.asarray(bits)
+    lead = arr.shape[:-1]
+    flat = arr.reshape(-1, arr.shape[-1]).astype(np.uint8)
+    by = np.packbits(flat, axis=-1)  # MSB-first, same order as bits_to_bytes
+    dec_by, flags = rs_decode_bytes_batch(by, nsym)
+    dec_bits = np.unpackbits(dec_by, axis=-1).astype(np.float32)
+    return dec_bits.reshape(*lead, -1), flags.reshape(lead)

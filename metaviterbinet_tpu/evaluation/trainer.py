@@ -32,7 +32,7 @@ from metaviterbinet_tpu.data.dataset import ChannelDataset
 from metaviterbinet_tpu.detectors import (
     DETECTORS, DetectorSpec, with_compute_dtype, with_pallas_detect,
 )
-from metaviterbinet_tpu.ecc.rs import rs_decode_bits, rs_encode_bits
+from metaviterbinet_tpu.ecc.rs import rs_decode_bits_host, rs_encode_bits
 from metaviterbinet_tpu.online.engine import make_online_engine
 from metaviterbinet_tpu.ops.channel import estimate_channel_batch
 from metaviterbinet_tpu.ops.metrics import error_rates
@@ -137,11 +137,14 @@ class Trainer:
         h = self._decoder_csi(tx.shape[0])
         detected = self._detect_batch(params, rx, h)
         if cfg.use_ecc:
-            decoded, _ = rs_decode_bits(detected, cfg.n_symbols)
+            # the detections are about to be scored on the host anyway —
+            # decode there via the native C++ batch codec (bit-identical;
+            # skips the jax decoder's heavy CPU compile in eval-only runs)
+            decoded, _ = rs_decode_bits_host(detected, cfg.n_symbols)
         else:
             decoded = detected
         di = cfg.data_indices("val")
-        ser, fer, _ = error_rates(decoded[di], tx[di])
+        ser, fer, _ = error_rates(jnp.asarray(decoded)[di], tx[di])
         return float(ser)
 
     def evaluate(self) -> np.ndarray:

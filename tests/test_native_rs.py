@@ -64,3 +64,26 @@ def test_roundtrip_correctable():
     out, flags = rs_decode_bytes_batch(rxs, 4)
     assert not flags.any()
     np.testing.assert_array_equal(out, msgs)
+
+
+def test_host_decode_wrapper_matches_jax_path():
+    """ecc.rs.rs_decode_bits_host (the eval-path production wiring) must be
+    bit-identical to the jittable rs_decode_bits on noisy codeword bits."""
+    import jax, jax.numpy as jnp
+
+    from metaviterbinet_tpu.ecc.rs import (
+        rs_decode_bits, rs_decode_bits_host, rs_encode_bits,
+    )
+
+    rng = np.random.default_rng(2)
+    bits = rng.integers(0, 2, size=(32, 120)).astype(np.float32)
+    coded = np.array(rs_encode_bits(jnp.asarray(bits), 2))  # writable copy
+    # flip 0..12 random bits per word (both correctable and uncorrectable)
+    for i in range(coded.shape[0]):
+        k = rng.integers(0, 13)
+        pos = rng.choice(coded.shape[1], size=k, replace=False)
+        coded[i, pos] = 1 - coded[i, pos]
+    host, hflags = rs_decode_bits_host(coded, 2)
+    dev, dflags = rs_decode_bits(jnp.asarray(coded), 2)
+    np.testing.assert_array_equal(host, np.asarray(dev))
+    np.testing.assert_array_equal(hflags.astype(bool), np.asarray(dflags).astype(bool))
