@@ -14,7 +14,15 @@ Two measurements:
 Prints one JSON line per measurement.
 
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/online_bench.py \
-        [--streams 64] [--detector vnet]
+        [--streams 64] [--detector vnet] [--mode online|meta]
+
+`--mode meta --detector meta_lstm` times the crown-jewel workload: the full
+by-word Meta-LSTM protocol (MAML every 5 subframes + 200 SGD steps per
+confident block, second-order grads through the LSTM scan, nested in the
+300-block scan). The reference runs this as a host-side loop in 4h20m on CPU
+(resources/reference_baselines.json notes); here it is one fused program.
+Reports compile seconds and steady-state s/eval separately — compile is a
+one-off (persistent-cache-able), steady-state is the serving number.
 """
 from __future__ import annotations
 
@@ -31,7 +39,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=64)
     ap.add_argument("--detector", default="vnet")
+    ap.add_argument("--mode", default="online", choices=["online", "meta"])
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--iters", type=int, default=None,
+                    help="steady-state repeats (default: 4 online, 2 meta)")
     args = ap.parse_args()
 
     import jax
@@ -48,8 +59,10 @@ def main():
     from metaviterbinet_tpu.ops.channel import estimate_channel_batch
     from metaviterbinet_tpu.train.losses import make_loss_fn
 
+    meta = args.mode == "meta"
     cfg = Config(use_ecc=True, n_symbols=2, val_frames=12, eval_mode="by_word",
-                 fading_taps_type=2, self_supervised=True)
+                 fading_taps_type=2, self_supervised=True,
+                 online_meta=meta)
     spec = DETECTORS[args.detector]
     loss_fn = make_loss_fn(spec.score, spec.label_kind, cfg.memory_length,
                            spec.subsample_loss, cfg.train_minibatch_size)
@@ -66,18 +79,24 @@ def main():
 
     # ---- 1. single stream ---------------------------------------------------
     run1 = lambda p, k: engine(p, tx, rx, h, k)
-    fence(run1(params, jax.random.PRNGKey(1)).ser_by_word)  # compile
+    tc = time.perf_counter()
+    fence(run1(params, jax.random.PRNGKey(1)).ser_by_word)  # compile + 1 run
+    compile_s = time.perf_counter() - tc
     t0 = time.perf_counter()
-    iters = 4
+    iters = args.iters or (2 if args.mode == "meta" else 4)
     for i in range(iters):
         out = run1(params, jax.random.PRNGKey(i))
     fence(out.ser_by_word)
     dt1 = (time.perf_counter() - t0) / iters
     print(json.dumps({
-        "metric": "online_adaptation_single_stream_s",
+        "metric": f"{args.mode}_adaptation_single_stream_s",
+        "detector": args.detector,
         "value": round(dt1, 4), "unit": "s / 300-block eval",
+        "compile_plus_first_run_s": round(compile_s, 1),
         "blocks_per_s": round(n_words / dt1, 1),
     }))
+    if args.mode == "meta":
+        return  # the MAML engine's serving number is the single-stream one
 
     # ---- 2. N concurrent streams (per-stream adapting params) ---------------
     N = args.streams
