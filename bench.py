@@ -117,7 +117,19 @@ def measure_tpu() -> float:
 
 def main():
     baseline = get_cpu_baseline()
-    value = measure_tpu()
+    # the axon tunnel serves ONE client at a time: a straggling background
+    # job (e.g. a parity-campaign cell) makes the backend raise
+    # FAILED_PRECONDITION — wait and retry rather than report a bogus run
+    last_err = None
+    for attempt in range(5):
+        try:
+            value = measure_tpu()
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError and friends
+            last_err = e
+            time.sleep(60)
+    else:
+        raise last_err
     print(json.dumps({
         "metric": "viterbinet_decoded_symbols_per_sec_per_chip",
         "value": round(value, 1),

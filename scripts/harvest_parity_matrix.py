@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Fold completed parity-matrix cells (/tmp/parity_campaign/{ref,ours}_*.json,
+written by run_r2_{ref,ours}_matrix.sh workers) into
+resources/reference_baselines.json under "r2_parity_matrix".
+
+Cells are keyed (detector, mode, channel, snr); each side holds a seed->BER
+map. Where both sides exist the same combined binomial + across-seed z test
+as scripts/parity_campaign.py is applied (symmetric: |z|>=3 flags deviation
+in either direction; significantly-lower-ours is labeled BETTER, not PARITY).
+Safe to re-run as more cells land — it rewrites the whole section from the
+cell files each time.
+
+    python scripts/harvest_parity_matrix.py [--dir /tmp/parity_campaign]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import math
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASELINES = os.path.join(REPO, "resources", "reference_baselines.json")
+
+# ours_meta_lstm_meta_cost2100_11.0_0.json / ref_vnet_joint_8.0_1.json
+CELL_RE = re.compile(
+    r"^(ref|ours)_(va|vnet|meta_vnet|lstm|meta_lstm)_"
+    r"(aggregated|joint|online|meta)(?:_(cost2100))?_([0-9.]+)_(\d+)\.json$")
+
+
+def collect(cell_dir: str) -> dict:
+    cells: dict[tuple, dict] = {}
+    for path in sorted(glob.glob(os.path.join(cell_dir, "*.json"))):
+        m = CELL_RE.match(os.path.basename(path))
+        if not m:
+            continue
+        side, det, mode, ch, snr, seed = m.groups()
+        with open(path) as f:
+            try:
+                blob = json.load(f)
+            except json.JSONDecodeError:
+                continue  # cell still being written
+        if "mean_data" not in blob:
+            continue
+        key = (det, mode, ch or "time_decay", float(snr))
+        cells.setdefault(key, {"ref": {}, "ours": {}})
+        cells[key][side][int(seed)] = blob["mean_data"]
+    return cells
+
+
+def z_verdict(refs: list[float], ours: list[float], n_blocks: int = 288,
+              block_bits: int = 120) -> dict:
+    mr, mo = sum(refs) / len(refs), sum(ours) / len(ours)
+    n_bits = n_blocks * block_bits * len(refs)
+    sig_bin = math.sqrt(max(mr, 1e-9) * (1 - mr) / n_bits)
+    var_seed = 0.0
+    if len(refs) > 1:
+        var_seed += sum((x - mr) ** 2 for x in refs) / (len(refs) - 1) / len(refs)
+    if len(ours) > 1:
+        var_seed += sum((x - mo) ** 2 for x in ours) / (len(ours) - 1) / len(ours)
+    sigma = math.sqrt(2 * sig_bin ** 2 + var_seed)
+    z = abs(mo - mr) / sigma if sigma else float("inf")
+    verdict = "PARITY" if z < 3 else ("BETTER" if mo < mr else "DIVERGENT")
+    return {"ref_mean": round(mr, 6), "ours_mean": round(mo, 6),
+            "z": round(z, 2), "verdict": verdict}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/parity_campaign")
+    args = ap.parse_args()
+
+    cells = collect(args.dir)
+    section: dict[str, dict] = {}
+    n_pairs = 0
+    for (det, mode, ch, snr), sides in sorted(cells.items()):
+        name = f"{det}_{mode}" + ("" if ch == "time_decay" else f"_{ch}")
+        entry = section.setdefault(name, {"channel": ch, "points": {}})
+        pt: dict = {}
+        for side in ("ref", "ours"):
+            if sides[side]:
+                pt[side] = [sides[side][s] for s in sorted(sides[side])]
+        if sides["ref"] and sides["ours"]:
+            pt.update(z_verdict(pt["ref"], pt["ours"]))
+            n_pairs += 1
+        entry["points"][str(snr)] = pt
+
+    with open(BASELINES) as f:
+        base = json.load(f)
+    base["r2_parity_matrix"] = {
+        "description": (
+            "Round-2 parity matrix over BASELINE.md's 8-14 dB band and the "
+            "COST2100 channel (VERDICT r1 item 1): full by-word protocol "
+            "(300 blocks, nsym=2, type-2 test channel / COST2100 measured "
+            "taps, train-on-miss on the type-1 synthetic channel), reference "
+            "(torch CPU) vs this framework, per-seed mean coded BER on data "
+            "blocks. z: combined binomial + across-seed sigma, symmetric "
+            "3-sigma test (scripts/harvest_parity_matrix.py)."),
+        "cells": section,
+    }
+    with open(BASELINES, "w") as f:
+        json.dump(base, f, indent=1)
+        f.write("\n")
+
+    done_ref = sum(len(v["ref"]) for v in cells.values())
+    done_ours = sum(len(v["ours"]) for v in cells.values())
+    print(f"harvested {len(cells)} (det,mode,ch,snr) cells "
+          f"({done_ref} ref runs, {done_ours} ours runs, {n_pairs} compared)")
+    for name, entry in section.items():
+        for snr, pt in entry["points"].items():
+            if "verdict" in pt:
+                print(f"  {name:28s} {snr:>5s} dB ref {pt['ref_mean']:.6f} "
+                      f"ours {pt['ours_mean']:.6f} z={pt['z']:5.2f} {pt['verdict']}")
+
+
+if __name__ == "__main__":
+    main()
