@@ -39,6 +39,9 @@ for snr in 8.0 11.0; do for s in 0 1; do
 done; done
 # meta_vnet is CPU-feasible too (plain MAML MLP, no LSTM-scan second-order
 # pathology) — pick these up if the TPU queue hasn't already
+for s in 0 1; do
+  run meta_vnet meta 10.0 $s time_decay 3600   # post-unique(j_hat) refresh
+done
 for snr in 8.0 12.0 14.0; do for s in 0 1; do
   run meta_vnet meta $snr $s time_decay 3600
 done; done
