@@ -1,14 +1,17 @@
 #!/usr/bin/env python
 """Fold completed parity-matrix cells (/tmp/parity_campaign/{ref,ours}_*.json,
-written by run_r2_{ref,ours}_matrix.sh workers) into
-resources/reference_baselines.json under "r2_parity_matrix".
+written by the run_r{2,3}_* runner scripts) into
+resources/reference_baselines.json under "r3_parity_matrix".
 
 Cells are keyed (detector, mode, channel, snr); each side holds a seed->BER
 map. Where both sides exist the same combined binomial + across-seed z test
 as scripts/parity_campaign.py is applied (symmetric: |z|>=3 flags deviation
 in either direction; significantly-lower-ours is labeled BETTER, not PARITY).
-Safe to re-run as more cells land — it rewrites the whole section from the
-cell files each time.
+Cells with ours runs but no ref cell file are joined against the round-1
+reference values archived in "by_word_campaign_snr10" when the protocol
+matches (10 dB, time_decay) — those pairs carry ref_source so provenance
+stays visible. Safe to re-run as more cells land — it rewrites the whole
+section from the cell files each time.
 
     python scripts/harvest_parity_matrix.py [--dir /tmp/parity_campaign]
 """
@@ -67,10 +70,28 @@ def z_verdict(refs: list[float], ours: list[float], n_blocks: int = 288,
             "z": round(z, 2), "verdict": verdict}
 
 
+# (det, mode) -> curve key in the round-1 "by_word_campaign_snr10" archive;
+# that campaign ran the same by-word protocol at 10 dB on time_decay, so its
+# ref values are valid join partners for ours-only 10 dB cells.
+R1_SNR10_KEYS = {
+    ("va", "joint"): "va_joint",
+    ("vnet", "joint"): "vnet_joint",
+    ("vnet", "online"): "vnet_online",
+    ("lstm", "joint"): "lstm_joint",
+    ("lstm", "online"): "lstm_online",
+    ("meta_vnet", "meta"): "meta_vnet",
+    ("meta_lstm", "meta"): "meta_lstm",
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="/tmp/parity_campaign")
     args = ap.parse_args()
+
+    with open(BASELINES) as f:
+        base = json.load(f)
+    r1_snr10 = base.get("by_word_campaign_snr10", {}).get("mean_data_ber", {})
 
     cells = collect(args.dir)
     section: dict[str, dict] = {}
@@ -82,17 +103,23 @@ def main():
         for side in ("ref", "ours"):
             if sides[side]:
                 pt[side] = [sides[side][s] for s in sorted(sides[side])]
-        if sides["ref"] and sides["ours"]:
+        if sides["ours"] and not sides["ref"] and ch == "time_decay" \
+                and snr == 10.0 and (det, mode) in R1_SNR10_KEYS:
+            r1 = [x for x in r1_snr10.get(R1_SNR10_KEYS[det, mode], {})
+                  .get("ref", []) if x is not None]
+            if r1:
+                pt["ref"] = r1
+                pt["ref_source"] = "by_word_campaign_snr10 (round-1 archive)"
+        if pt.get("ref") and pt.get("ours"):
             pt.update(z_verdict(pt["ref"], pt["ours"]))
             n_pairs += 1
         entry["points"][str(snr)] = pt
 
-    with open(BASELINES) as f:
-        base = json.load(f)
-    base["r2_parity_matrix"] = {
+    base.pop("r2_parity_matrix", None)
+    base["r3_parity_matrix"] = {
         "description": (
-            "Round-2 parity matrix over BASELINE.md's 8-14 dB band and the "
-            "COST2100 channel (VERDICT r1 item 1): full by-word protocol "
+            "Round-3 parity matrix over BASELINE.md's 8-14 dB band and the "
+            "COST2100 channel (VERDICT r2 items 1/6/8): full by-word protocol "
             "(300 blocks, nsym=2, type-2 test channel / COST2100 measured "
             "taps, train-on-miss on the type-1 synthetic channel), reference "
             "(torch CPU) vs this framework, per-seed mean coded BER on data "
