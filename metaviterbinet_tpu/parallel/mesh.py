@@ -85,8 +85,14 @@ def make_multihost_mesh(chips_per_host: Optional[int] = None,
             raise ValueError(
                 f"chips_per_host={chips_per_host} but each of the {n_proc} "
                 f"processes owns {per} devices")
+        # process_is_granule: the outer ('hosts') axis groups by PROCESS.
+        # The default groups by slice_index, which is the same for every
+        # host of a single TPU slice (and for all multi-process CPU devices)
+        # — it would reject any single-slice multi-host run. Caught by the
+        # real 2-process run in tests/test_multiprocess.py.
         arr = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(1, per), dcn_mesh_shape=(n_proc, 1), devices=devices)
+            mesh_shape=(1, per), dcn_mesh_shape=(n_proc, 1), devices=devices,
+            process_is_granule=True)
     else:
         per = chips_per_host or len(devices)
         if len(devices) % per:
