@@ -81,7 +81,10 @@ def get_cpu_baseline() -> float:
     return value
 
 
-def measure_tpu() -> float:
+REPEATS, ITERS_PER_REPEAT = 5, 16
+
+
+def measure_tpu() -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -104,15 +107,49 @@ def measure_tpu() -> float:
     float(detect(params, ys[0]))  # compile + sync
 
     def once() -> float:
-        n_iters, t0 = 16, time.perf_counter()
-        for i in range(n_iters):
+        t0 = time.perf_counter()
+        for i in range(ITERS_PER_REPEAT):
             out = detect(params, ys[i % len(ys)])
-        float(out)
-        return TPU_WORDS * T * n_iters / (time.perf_counter() - t0)
+        float(out)  # host pull = sync fence
+        return TPU_WORDS * T * ITERS_PER_REPEAT / (time.perf_counter() - t0)
 
-    # the axon tunnel adds +-40% run-to-run dispatch jitter at ms kernel
-    # sizes; report the best of three repeats (standard latency practice)
-    return max(once() for _ in range(3))
+    # The axon tunnel adds run-to-run dispatch jitter at ms kernel sizes
+    # (round-2 measurements of the SAME kernel/width moved 1.42 vs 1.75 B
+    # sym/s between sessions). Headline = MEDIAN over repeats; best and
+    # spread are reported alongside so numbers from different sessions can
+    # be reconciled instead of silently disagreeing.
+    vals = sorted(once() for _ in range(REPEATS))
+    median = vals[len(vals) // 2]
+    spread = (vals[-1] - vals[0]) / median if median else 0.0
+    return {"median": median, "best": vals[-1], "worst": vals[0],
+            "spread_pct": round(100 * spread, 1)}
+
+
+def measure_e2e_eval() -> dict:
+    """Protocol-level end-to-end aggregated eval on the chip: generate the
+    300-word val batch, detect (auto Pallas dispatch), RS-decode on the host
+    via the native C++ batch codec, score non-pilot words — the production
+    `Trainer.single_eval_at_point` path, full-CSI VA detector (matching the
+    reference_runtime va_eval_1000_words_coded_s = 0.65 s CPU figure)."""
+    from metaviterbinet_tpu.config import Config
+    from metaviterbinet_tpu.evaluation.trainer import Trainer
+
+    cfg = Config(use_ecc=True, n_symbols=2, val_block_length=120,
+                 val_frames=12, eval_mode="aggregated",
+                 val_SNR_start=10.0, val_SNR_end=10.0)
+    t = Trainer(cfg, "va", weights_dir="/tmp/bench_e2e_weights", verbose=False)
+    t.single_eval_at_point(t.params, 10.0, cfg.gamma)  # warm-up / compile
+    words = cfg.n_words("val")
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        t.single_eval_at_point(t.params, 10.0, cfg.gamma)
+    per_1000 = (time.perf_counter() - t0) / reps / words * 1000.0
+    ref = 0.65  # resources/reference_baselines.json: reference_runtime
+    return {"seconds_per_1000_words": round(per_1000, 4),
+            "vs_reference_cpu": round(ref / per_1000, 1),
+            "includes": "datagen+detect+native-RS-decode+scoring",
+            "words_per_eval": words, "repeats": reps}
 
 
 def main():
@@ -123,7 +160,8 @@ def main():
     last_err = None
     for attempt in range(5):
         try:
-            value = measure_tpu()
+            stats = measure_tpu()
+            e2e = measure_e2e_eval()
             break
         except Exception as e:  # jax.errors.JaxRuntimeError and friends
             last_err = e
@@ -132,9 +170,20 @@ def main():
         raise last_err
     print(json.dumps({
         "metric": "viterbinet_decoded_symbols_per_sec_per_chip",
-        "value": round(value, 1),
+        "value": round(stats["median"], 1),
         "unit": "symbols/s",
-        "vs_baseline": round(value / baseline, 2),
+        "vs_baseline": round(stats["median"] / baseline, 2),
+        "best": round(stats["best"], 1),
+        "worst": round(stats["worst"], 1),
+        "spread_pct": stats["spread_pct"],
+        "methodology": {
+            "stat": "median over repeats (best/worst alongside)",
+            "repeats": REPEATS,
+            "dispatches_per_sync": ITERS_PER_REPEAT,
+            "batch_words": TPU_WORDS,
+            "sync": "scalar host pull (block_until_ready unreliable on axon)",
+        },
+        "e2e_eval": e2e,
     }))
 
 
