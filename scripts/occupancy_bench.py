@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Eval-width occupancy benchmark (VERDICT r2 item 5): plain fused kernel vs
+time-chunked overlap-save kernel at the protocol's small word counts.
+
+At W=384 (the 300-word eval batch padded to lanes) the plain kernel is
+latency-bound on the T=136 dependent ACS chain. Chunking time into batch
+width (overlap-save, mask-exact stream heads) shortens the chain to
+overlap + T/C steps at C*W lanes. This script measures both on the real
+chip and appends the results to resources/kernel_dispatch.json.
+
+Run (chip must be otherwise idle — single-client tunnel):
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/occupancy_bench.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+OUT = os.path.join(REPO, "resources", "kernel_dispatch.json")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from metaviterbinet_tpu.kernels.acs import (  # noqa: E402
+    fused_viterbinet_detect, fused_viterbinet_detect_chunked)
+from metaviterbinet_tpu.models import viterbinet  # noqa: E402
+
+T, S, OVERLAP = 136, 16, 32
+REPEATS, ITERS = 5, 32
+
+
+def rate(fn, y, words) -> dict:
+    """Median symbols/s over REPEATS, ITERS dispatches per sync (scalar host
+    pull — block_until_ready is unreliable under axon)."""
+    run = jax.jit(lambda p, yy: jnp.sum(fn(p, yy)))
+    params = viterbinet.init_params(jax.random.PRNGKey(0), S)
+    float(run(params, y))  # compile + sync
+    vals = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = run(params, y)
+        float(out)
+        vals.append(words * T * ITERS / (time.perf_counter() - t0))
+    vals.sort()
+    return {"median_msym_s": round(vals[len(vals) // 2] / 1e6, 1),
+            "best_msym_s": round(vals[-1] / 1e6, 1)}
+
+
+def check_exact(y) -> int:
+    """On-chip bit-equality of chunked vs plain at this shape."""
+    params = viterbinet.init_params(jax.random.PRNGKey(0), S)
+    plain = np.asarray(fused_viterbinet_detect(params, y))
+    diffs = {}
+    for c in (2, 4):
+        got = np.asarray(fused_viterbinet_detect_chunked(params, y, c, OVERLAP))
+        diffs[c] = int(np.sum(got != plain))
+    return diffs
+
+
+def main():
+    rng = np.random.default_rng(0)
+    results = []
+    for W in (384, 512):
+        # realistic y so the exactness check exercises real near-tie stats
+        from metaviterbinet_tpu.ops.channel import isi_awgn_transmit
+        from metaviterbinet_tpu.ops.modulation import bpsk_modulate
+
+        bits = rng.integers(0, 2, size=(W, T)).astype(np.float32)
+        h = np.tile(np.exp(-0.2 * np.arange(4)), (W, 1)).astype(np.float32)
+        padded = np.concatenate([bits, np.zeros((W, 4))], axis=1)
+        y = isi_awgn_transmit(jnp.asarray(bpsk_modulate(padded)),
+                              jnp.asarray(h), 10.0, jax.random.PRNGKey(0), 4)[:, :T]
+
+        row = {"words": W, "T": T, "overlap": OVERLAP,
+               "plain": rate(fused_viterbinet_detect, y, W),
+               "mismatch_bits_vs_plain": check_exact(y)}
+        for c in (2, 4):
+            row[f"chunked_c{c}"] = rate(
+                lambda p, yy, c=c: fused_viterbinet_detect_chunked(p, yy, c, OVERLAP),
+                y, W)
+        best = max(row["chunked_c2"]["median_msym_s"],
+                   row["chunked_c4"]["median_msym_s"])
+        row["speedup_vs_plain"] = round(best / row["plain"]["median_msym_s"], 2)
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    with open(OUT) as f:
+        d = json.load(f)
+    d["eval_width_occupancy"] = {
+        "description": (
+            "Round-3 time-chunked overlap-save fused kernel at eval widths: "
+            "T=136 split into C chunks, each prefixed with its left "
+            "neighbor's 32-symbol tail, decoded as one C*W-lane launch "
+            "(stream-head chunks warm up on mask-zeroed priors - bit-exact "
+            "fresh start). Median over "
+            f"{REPEATS} repeats, {ITERS} dispatches/sync, real chip."),
+        "points": results,
+    }
+    with open(OUT, "w") as f:
+        json.dump(d, f, indent=1)
+        f.write("\n")
+    print("written ->", OUT)
+
+
+if __name__ == "__main__":
+    main()
