@@ -83,6 +83,13 @@ class Config:
     # (interpret mode is for semantics tests). True/False force it.
     mesh_shape: Optional[tuple] = None  # e.g. (8,) data-parallel mesh; None = single device
     decode_overlap: int = 32  # warm-up overlap (symbols) for block-parallel decode
+    eval_time_chunks: int = 0  # opt-in: split T into this many overlap-save
+    # chunks inside the fused kernel, turning time into batch width — the
+    # latency fix for SMALL eval batches (the 384-word protocol batch is
+    # bound by the 136-step serial ACS chain). 0 = plain kernel. Equality
+    # with the plain kernel needs decode_overlap >= trellis forgetting depth
+    # (~8*memory_length); asserted in tests and measured on-chip
+    # (resources/kernel_dispatch.json eval_width_occupancy).
     buffer_capacity: int = 300  # fixed ring-buffer capacity for the fused online loop
     weights_dir: Optional[str] = None
 

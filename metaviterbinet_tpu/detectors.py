@@ -90,7 +90,8 @@ _MODEL_OF = {"vnet": viterbinet, "meta_vnet": viterbinet,
              "lstm": lstm, "meta_lstm": lstm}
 
 
-def with_pallas_detect(spec: DetectorSpec) -> DetectorSpec:
+def with_pallas_detect(spec: DetectorSpec, time_chunks: int = 0,
+                       overlap: int = 32) -> DetectorSpec:
     """Specialize a ViterbiNet-family spec to the fused Pallas metric+ACS
     kernel for batch detection (Config.use_pallas; None = auto-on for TPU).
 
@@ -102,16 +103,29 @@ def with_pallas_detect(spec: DetectorSpec) -> DetectorSpec:
     the protocol's 384 padded words, 164 vs 132 M at 1024, 468 vs 406 M at
     4096, and 1.75 B vs ~0.4 B at 65536 where all MLP activations stay in
     VMEM.
+
+    time_chunks > 0 (Config.eval_time_chunks) additionally splits the time
+    axis into overlap-save chunks inside the kernel — the occupancy fix for
+    small eval batches, where the plain kernel is latency-bound on the
+    T-step serial ACS chain (falls back to the plain kernel when T doesn't
+    divide or the chunks are shorter than the overlap).
     """
     if spec.name not in ("vnet", "meta_vnet"):
         return spec
-    from metaviterbinet_tpu.kernels.acs import LANE_W, fused_viterbinet_detect
+    from metaviterbinet_tpu.kernels.acs import (
+        LANE_W, fused_viterbinet_detect, fused_viterbinet_detect_chunked)
 
     def detect(params, y, h):
-        W = y.shape[0]
+        W, T = y.shape
         Wp = -(-W // LANE_W) * LANE_W
         ypad = jnp.pad(y, ((0, Wp - W), (0, 0)))
-        return fused_viterbinet_detect(params, ypad)[:W].astype(y.dtype)
+        if time_chunks > 1 and T % time_chunks == 0 \
+                and T // time_chunks >= overlap:
+            bits = fused_viterbinet_detect_chunked(
+                params, ypad, time_chunks, overlap)
+        else:
+            bits = fused_viterbinet_detect(params, ypad)
+        return bits[:W].astype(y.dtype)
 
     from dataclasses import replace
     return replace(spec, detect=detect)

@@ -32,7 +32,8 @@ from metaviterbinet_tpu.data.dataset import ChannelDataset
 from metaviterbinet_tpu.detectors import (
     DETECTORS, DetectorSpec, with_compute_dtype, with_pallas_detect,
 )
-from metaviterbinet_tpu.ecc.rs import rs_decode_bits_host, rs_encode_bits
+from metaviterbinet_tpu.ecc.rs import (
+    rs_decode_bits, rs_decode_bits_host, rs_encode_bits)
 from metaviterbinet_tpu.online.engine import make_online_engine
 from metaviterbinet_tpu.ops.channel import estimate_channel_batch
 from metaviterbinet_tpu.ops.metrics import error_rates
@@ -42,6 +43,9 @@ from metaviterbinet_tpu.train.losses import make_loss_fn
 from metaviterbinet_tpu.train.loop import make_word_sweep
 from metaviterbinet_tpu.train.meta import make_maml_step, sorted_unique_mask
 from metaviterbinet_tpu.train.optim import make_optimizer
+
+# jit cache shared across Trainer instances (nsym is static)
+_rs_decode_device = jax.jit(rs_decode_bits, static_argnums=1)
 
 
 class Trainer:
@@ -79,7 +83,8 @@ class Trainer:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
-            self.spec = with_pallas_detect(self.spec)
+            self.spec = with_pallas_detect(self.spec, cfg.eval_time_chunks,
+                                           cfg.decode_overlap)
         if cfg.mesh_shape:
             # data-parallel batch detection over a device mesh (words axis);
             # the online engine is sequential-over-blocks and stays one-device
@@ -137,10 +142,17 @@ class Trainer:
         h = self._decoder_csi(tx.shape[0])
         detected = self._detect_batch(params, rx, h)
         if cfg.use_ecc:
-            # the detections are about to be scored on the host anyway —
-            # decode there via the native C++ batch codec (bit-identical;
-            # skips the jax decoder's heavy CPU compile in eval-only runs)
-            decoded, _ = rs_decode_bits_host(detected, cfg.n_symbols)
+            if jax.default_backend() == "tpu":
+                # keep the decode ON DEVICE: the remote-tunnel deployment
+                # pays ms-scale RTT per host pull, and the jax codec is
+                # bit-identical to the native one (400/400 differential
+                # fuzz, resources/reference_baselines.json) — only the
+                # final BER scalar leaves the chip
+                decoded, _ = _rs_decode_device(detected, cfg.n_symbols)
+            else:
+                # CPU eval-only runs skip the jax decoder's heavy CPU
+                # compile via the native C++ batch codec (bit-identical)
+                decoded, _ = rs_decode_bits_host(detected, cfg.n_symbols)
         else:
             decoded = detected
         di = cfg.data_indices("val")

@@ -101,3 +101,61 @@ def test_fused_detect_wide_tile_agreement():
     a = np.asarray(viterbinet.detect(params, y))
     b = np.asarray(fused_viterbinet_detect(params, y))
     assert np.mean(a != b) < 1e-3
+
+
+def test_fused_detect_chunked_matches_plain():
+    """Time-chunked overlap-save detect == plain fused detect. Both run the
+    SAME kernel arithmetic (identical per-symbol bf16 MLP), so equality is
+    exact once the overlap exceeds the trellis forgetting depth — including
+    the stream-head chunks, whose warm-up priors are mask-zeroed (metrics
+    stay exactly uniform, a bit-exact fresh start)."""
+    from metaviterbinet_tpu.kernels.acs import fused_viterbinet_detect_chunked
+
+    rng = np.random.default_rng(5)
+    W, T, S = 128, 128, 16
+    params = viterbinet.init_params(jax.random.PRNGKey(0), S)
+    # realistic y: BPSK through the 4-tap ISI channel at a working SNR
+    from metaviterbinet_tpu.ops.channel import isi_awgn_transmit
+    from metaviterbinet_tpu.ops.modulation import bpsk_modulate
+
+    bits = rng.integers(0, 2, size=(W, T)).astype(np.float32)
+    h = np.tile(np.exp(-0.2 * np.arange(4)), (W, 1)).astype(np.float32)
+    padded = np.concatenate([bits, np.zeros((W, 4))], axis=1)
+    y = isi_awgn_transmit(jnp.asarray(bpsk_modulate(padded)), jnp.asarray(h),
+                          10.0, jax.random.PRNGKey(5), 4)[:, :T]
+
+    plain = np.asarray(fused_viterbinet_detect(params, y))
+    for n_chunks in (2, 4):
+        got = np.asarray(
+            fused_viterbinet_detect_chunked(params, y, n_chunks, overlap=32))
+        np.testing.assert_array_equal(got, plain)
+
+
+def test_fused_detect_chunked_validation():
+    from metaviterbinet_tpu.kernels.acs import fused_viterbinet_detect_chunked
+
+    params = viterbinet.init_params(jax.random.PRNGKey(0), 16)
+    with pytest.raises(ValueError, match="chunks"):
+        fused_viterbinet_detect_chunked(params, jnp.zeros((128, 50)), 4)
+    with pytest.raises(ValueError, match="overlap"):
+        fused_viterbinet_detect_chunked(params, jnp.zeros((128, 128)), 8,
+                                        overlap=32)
+
+
+def test_with_pallas_detect_time_chunks_matches_plain():
+    """Config.eval_time_chunks routes batch detection through the chunked
+    kernel (with word padding) and must bit-match the plain kernel path;
+    non-divisible T falls back to the plain kernel."""
+    from metaviterbinet_tpu.detectors import DETECTORS, with_pallas_detect
+
+    rng = np.random.default_rng(9)
+    params = viterbinet.init_params(jax.random.PRNGKey(0), 16)
+    y = jnp.asarray(rng.normal(size=(100, 128)).astype(np.float32))  # W pads to 128
+    plain = with_pallas_detect(DETECTORS["vnet"])
+    chunked = with_pallas_detect(DETECTORS["vnet"], time_chunks=4, overlap=32)
+    np.testing.assert_array_equal(np.asarray(chunked.detect(params, y, None)),
+                                  np.asarray(plain.detect(params, y, None)))
+    # T=50 doesn't divide into 4 chunks -> silently falls back, still correct
+    y2 = jnp.asarray(rng.normal(size=(100, 50)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(chunked.detect(params, y2, None)),
+                                  np.asarray(plain.detect(params, y2, None)))
