@@ -78,6 +78,12 @@ def main():
             "snrs_db": args.snrs[: len(ber[curves[0].method_name])],
             "mean_coded_ber": ber,
             "figure": fig_rel,
+            "notes": [
+                "OnlineRNN (meta_lstm) points are bimodally unstable at "
+                "high SNR in BOTH implementations - the reference's own "
+                "runs collapse the same way (adjudicated in "
+                "resources/meta_lstm_outlier.json); treat those points as "
+                "draws from a two-mode distribution, not curve values."],
         }
         with open(out_path, "w") as f:
             json.dump(blob, f, indent=1)
