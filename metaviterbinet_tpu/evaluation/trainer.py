@@ -44,9 +44,6 @@ from metaviterbinet_tpu.train.loop import make_word_sweep
 from metaviterbinet_tpu.train.meta import make_maml_step, sorted_unique_mask
 from metaviterbinet_tpu.train.optim import make_optimizer
 
-# jit cache shared across Trainer instances (nsym is static)
-_rs_decode_device = jax.jit(rs_decode_bits, static_argnums=1)
-
 
 class Trainer:
     def __init__(self, cfg: Config, detector: str | DetectorSpec,
@@ -74,6 +71,9 @@ class Trainer:
         else:
             self.loss_fn = None
         self._online_engine = None
+        self._csi_jit = None
+        self._csi_jit_nokey = None
+        self._eval_tail = None
         # the online engine detects one word per block — keep it on the scan
         # path even when the (batch-oriented) Pallas kernel is enabled
         self._engine_detect = self.spec.detect
@@ -122,16 +122,30 @@ class Trainer:
     def _decoder_csi(self, n_words: int):
         """Decoder-side channel taps for the full-CSI VA (va_detector.py:52-60):
         tracks (or intentionally mis-tracks via fading_in_decoder /
-        noisy_est_var) the true channel trajectory."""
+        noisy_est_var) the true channel trajectory. Jitted per (config,
+        n_words): eager tracing issues ~a dozen tiny dispatches, which the
+        remote-tunnel deployment pays ms-scale RTT each for."""
         cfg = self.cfg
-        return estimate_channel_batch(
-            cfg.memory_length, cfg.gamma, jnp.arange(n_words),
-            channel_coefficients=cfg.channel_coefficients,
-            noisy_est_var=cfg.noisy_est_var,
-            fading=cfg.fading_in_decoder,
-            fading_taps_type=cfg.fading_taps_type,
-            noise_key=self._next_key() if cfg.noisy_est_var > 0 else None,
-        )
+
+        def csi(index, noise_key):
+            return estimate_channel_batch(
+                cfg.memory_length, cfg.gamma, index,
+                channel_coefficients=cfg.channel_coefficients,
+                noisy_est_var=cfg.noisy_est_var,
+                fading=cfg.fading_in_decoder,
+                fading_taps_type=cfg.fading_taps_type,
+                noise_key=noise_key,
+            )
+
+        if self._csi_jit is None:
+            self._csi_jit = jax.jit(csi)
+        key = self._next_key() if cfg.noisy_est_var > 0 else None
+        if key is None:
+            # a separate no-noise trace (None is a static pytree shape)
+            if self._csi_jit_nokey is None:
+                self._csi_jit_nokey = jax.jit(lambda idx: csi(idx, None))
+            return self._csi_jit_nokey(jnp.arange(n_words))
+        return self._csi_jit(jnp.arange(n_words), key)
 
     # ------------------------------------------------------------- evaluation
     def single_eval_at_point(self, params, snr: float, gamma: float) -> float:
@@ -140,22 +154,32 @@ class Trainer:
         cfg = self.cfg
         tx, rx = self.val_dataset.get(snr, gamma)
         h = self._decoder_csi(tx.shape[0])
+        di = cfg.data_indices("val")
+        if jax.default_backend() == "tpu":
+            # ONE dispatch for detect -> RS decode -> score, and only the
+            # BER scalar leaves the chip: the remote-tunnel deployment pays
+            # ms-scale RTT per dispatch/host pull, and the jax codec is
+            # bit-identical to the native one (400/400 differential fuzz,
+            # resources/reference_baselines.json)
+            if self._eval_tail is None:
+                def tail(params, tx, rx, h, di):
+                    detected = self._detect_batch(params, rx, h)
+                    if cfg.use_ecc:
+                        decoded, _ = rs_decode_bits(detected, cfg.n_symbols)
+                    else:
+                        decoded = detected
+                    ser, _, _ = error_rates(decoded[di], tx[di])
+                    return ser
+
+                self._eval_tail = jax.jit(tail)
+            return float(self._eval_tail(params, tx, rx, h, jnp.asarray(di)))
         detected = self._detect_batch(params, rx, h)
         if cfg.use_ecc:
-            if jax.default_backend() == "tpu":
-                # keep the decode ON DEVICE: the remote-tunnel deployment
-                # pays ms-scale RTT per host pull, and the jax codec is
-                # bit-identical to the native one (400/400 differential
-                # fuzz, resources/reference_baselines.json) — only the
-                # final BER scalar leaves the chip
-                decoded, _ = _rs_decode_device(detected, cfg.n_symbols)
-            else:
-                # CPU eval-only runs skip the jax decoder's heavy CPU
-                # compile via the native C++ batch codec (bit-identical)
-                decoded, _ = rs_decode_bits_host(detected, cfg.n_symbols)
+            # CPU eval-only runs skip the jax decoder's heavy CPU compile
+            # via the native C++ batch codec (bit-identical)
+            decoded, _ = rs_decode_bits_host(detected, cfg.n_symbols)
         else:
             decoded = detected
-        di = cfg.data_indices("val")
         ser, fer, _ = error_rates(jnp.asarray(decoded)[di], tx[di])
         return float(ser)
 
