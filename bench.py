@@ -146,9 +146,13 @@ def measure_e2e_eval() -> dict:
         t.single_eval_at_point(t.params, 10.0, cfg.gamma)
     per_1000 = (time.perf_counter() - t0) / reps / words * 1000.0
     ref = 0.65  # resources/reference_baselines.json: reference_runtime
+    import jax
+
+    decode = ("on-device-RS-decode" if jax.default_backend() == "tpu"
+              else "native-host-RS-decode")
     return {"seconds_per_1000_words": round(per_1000, 4),
             "vs_reference_cpu": round(ref / per_1000, 1),
-            "includes": "datagen+detect+native-RS-decode+scoring",
+            "includes": f"datagen+detect+{decode}+scoring",
             "words_per_eval": words, "repeats": reps}
 
 
