@@ -127,10 +127,12 @@ def measure_tpu() -> dict:
 
 def measure_e2e_eval() -> dict:
     """Protocol-level end-to-end aggregated eval on the chip: generate the
-    300-word val batch, detect (auto Pallas dispatch), RS-decode on the host
-    via the native C++ batch codec, score non-pilot words — the production
-    `Trainer.single_eval_at_point` path, full-CSI VA detector (matching the
-    reference_runtime va_eval_1000_words_coded_s = 0.65 s CPU figure)."""
+    300-word val batch, detect (auto Pallas dispatch), RS-decode (backend-
+    dependent: fused on-device jax codec on TPU, native C++ host batch codec
+    on CPU — the 'includes' field records which), score non-pilot words — the
+    production `Trainer.single_eval_at_point` path, full-CSI VA detector
+    (matching the reference_runtime va_eval_1000_words_coded_s = 0.65 s CPU
+    figure)."""
     from metaviterbinet_tpu.config import Config
     from metaviterbinet_tpu.evaluation.trainer import Trainer
 
@@ -150,10 +152,37 @@ def measure_e2e_eval() -> dict:
 
     decode = ("on-device-RS-decode" if jax.default_backend() == "tpu"
               else "native-host-RS-decode")
+
+    # The production aggregated protocol is a multi-SNR sweep
+    # (trainer.py:243-252 loops gamma_eval over the val range). Ours fuses
+    # datagen+CSI+detect+decode+scoring for ALL points into ONE dispatch
+    # (Trainer.sweep_eval_fused), amortizing the tunnel RTT that dominates
+    # the single-point figure. Reference cost is linear in points, so the
+    # per-1000-words comparison against the same 0.65 s figure is fair.
+    sweep_cfg = Config(use_ecc=True, n_symbols=2, val_block_length=120,
+                       val_frames=12, eval_mode="aggregated",
+                       val_SNR_start=7.0, val_SNR_end=12.0)
+    ts = Trainer(sweep_cfg, "va", weights_dir="/tmp/bench_e2e_weights",
+                 verbose=False)
+    snrs = [float(s) for s in sweep_cfg.snr_range("val")]
+    none_params = tuple(None for _ in snrs)
+    ts.sweep_eval_fused(snrs, none_params)  # warm-up / compile
+    sweep_words = words * len(snrs)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ts.sweep_eval_fused(snrs, none_params)
+    sweep_per_1000 = (time.perf_counter() - t0) / reps / sweep_words * 1000.0
+
     return {"seconds_per_1000_words": round(per_1000, 4),
             "vs_reference_cpu": round(ref / per_1000, 1),
             "includes": f"datagen+detect+{decode}+scoring",
-            "words_per_eval": words, "repeats": reps}
+            "words_per_eval": words, "repeats": reps,
+            "sweep": {
+                "seconds_per_1000_words": round(sweep_per_1000, 4),
+                "vs_reference_cpu": round(ref / sweep_per_1000, 1),
+                "snr_points": len(snrs), "words_per_sweep": sweep_words,
+                "dispatches": 1, "repeats": reps,
+            }}
 
 
 def main():

@@ -88,12 +88,22 @@ class ChannelDataset:
         # fading_in_decoder (reference channel_dataset.py:73-78)
         self.fading = cfg.fading_in_channel if phase == "val" else cfg.fading_in_decoder
 
-    def get(self, snr: float, gamma: float):
-        cfg, phase = self.cfg, self.phase
+    def next_keys(self):
+        """Advance the word/noise PRNG streams one step (exactly what one
+        `get` call consumes) and return the drawn (word_key, noise_key).
+        Lets a caller pre-draw the keys for several batches in stream order
+        and fold the generation into a larger jitted program (the fused
+        multi-SNR eval sweep) without perturbing the sequence a plain
+        per-SNR `get` loop would have produced."""
         self._word_key, wk = jax.random.split(self._word_key)
         self._noise_key, nk = jax.random.split(self._noise_key)
+        return wk, nk
+
+    def generate(self, word_key, noise_key, snr: float, gamma: float):
+        """Pure generation from explicit keys (jit-inlinable)."""
+        cfg, phase = self.cfg, self.phase
         return generate_words(
-            wk, nk, snr, gamma,
+            word_key, noise_key, snr, gamma,
             n_words=cfg.n_words(phase),
             block_length=cfg.block_length(phase),
             memory_length=cfg.memory_length,
@@ -104,3 +114,7 @@ class ChannelDataset:
             fading_taps_type=cfg.fading_taps_type,
             noisy_est_var=cfg.noisy_est_var,
         )
+
+    def get(self, snr: float, gamma: float):
+        wk, nk = self.next_keys()
+        return self.generate(wk, nk, snr, gamma)

@@ -91,7 +91,8 @@ _MODEL_OF = {"vnet": viterbinet, "meta_vnet": viterbinet,
 
 
 def with_pallas_detect(spec: DetectorSpec, time_chunks: int = 0,
-                       overlap: int = 32) -> DetectorSpec:
+                       overlap: int = 32,
+                       memory_length: int = 4) -> DetectorSpec:
     """Specialize a ViterbiNet-family spec to the fused Pallas metric+ACS
     kernel for batch detection (Config.use_pallas; None = auto-on for TPU).
 
@@ -108,12 +109,23 @@ def with_pallas_detect(spec: DetectorSpec, time_chunks: int = 0,
     axis into overlap-save chunks inside the kernel — the occupancy fix for
     small eval batches, where the plain kernel is latency-bound on the
     T-step serial ACS chain (falls back to the plain kernel when T doesn't
-    divide or the chunks are shorter than the overlap).
+    divide, the chunks are shorter than the overlap, or the overlap is
+    below the ~8*memory_length trellis forgetting depth the bit-exactness
+    measurement was taken at — a too-shallow warm-up would silently diverge
+    from the plain kernel).
     """
     if spec.name not in ("vnet", "meta_vnet"):
         return spec
     from metaviterbinet_tpu.kernels.acs import (
         LANE_W, fused_viterbinet_detect, fused_viterbinet_detect_chunked)
+
+    if time_chunks > 1 and overlap < 8 * memory_length:
+        import warnings
+        warnings.warn(
+            f"eval_time_chunks={time_chunks} requested with decode_overlap="
+            f"{overlap} < 8*memory_length={8 * memory_length}: warm-up would "
+            "not reach trellis forgetting depth — using the plain kernel.")
+        time_chunks = 0
 
     def detect(params, y, h):
         W, T = y.shape

@@ -74,6 +74,7 @@ class Trainer:
         self._csi_jit = None
         self._csi_jit_nokey = None
         self._eval_tail = None
+        self._sweep_tail = None  # (snrs, jitted fn) for the fused SNR sweep
         # the online engine detects one word per block — keep it on the scan
         # path even when the (batch-oriented) Pallas kernel is enabled
         self._engine_detect = self.spec.detect
@@ -84,7 +85,8 @@ class Trainer:
             use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
             self.spec = with_pallas_detect(self.spec, cfg.eval_time_chunks,
-                                           cfg.decode_overlap)
+                                           cfg.decode_overlap,
+                                           cfg.memory_length)
         if cfg.mesh_shape:
             # data-parallel batch detection over a device mesh (words axis);
             # the online engine is sequential-over-blocks and stays one-device
@@ -194,9 +196,32 @@ class Trainer:
             if self.spec.trainable:
                 self.params = self.load_weights(snr, cfg.gamma)
             return self.eval_by_word(snr, cfg.gamma)
+        snrs = [float(s) for s in cfg.snr_range("val")]
+        if jax.default_backend() == "tpu" and len(snrs) > 1:
+            # the whole SNR sweep — datagen, detect, RS decode, scoring, for
+            # every point — as ONE dispatch: the per-point loop below pays
+            # ~2 tunnel RTTs per SNR (datagen + eval tail), which dominates
+            # wall clock at protocol batch sizes (resources/kernel_dispatch
+            # device_side_probe: ~60% RTT). Checkpoint IO stays on the host;
+            # each point keeps its own per-SNR params (trainer.py:249-251).
+            params_per_snr = tuple(
+                self.load_weights(snr, cfg.gamma) if self.spec.trainable
+                else None
+                for snr in snrs
+            )
+            if self.spec.trainable:
+                self.params = params_per_snr[-1]
+            t0 = time.time()
+            sers = self.sweep_eval_fused(snrs, params_per_snr)
+            dt = time.time() - t0
+            for snr, ser in zip(snrs, sers):
+                self._log(f"SNR {snr}: ser {ser:.6f}")
+                self._metric("eval_point", snr=snr, ser=float(ser),
+                             elapsed_s=dt / len(snrs))
+            self._log(f"fused {len(snrs)}-SNR sweep: {dt:.2f}s")
+            return sers
         sers = []
-        for snr in cfg.snr_range("val"):
-            snr = float(snr)
+        for snr in snrs:
             if self.spec.trainable:
                 self.params = self.load_weights(snr, cfg.gamma)
             t0 = time.time()
@@ -206,6 +231,52 @@ class Trainer:
                          elapsed_s=time.time() - t0)
             sers.append(ser)
         return np.asarray(sers)
+
+    def sweep_eval_fused(self, snrs: list, params_per_snr: tuple) -> np.ndarray:
+        """Aggregated eval of the FULL SNR sweep in one jitted program:
+        per point, generate the val batch, compute decoder CSI, detect;
+        then RS-decode all points' words as one batch and score each point
+        on its non-pilot words. Matches the sequential per-SNR loop exactly:
+        dataset PRNG keys are pre-drawn in stream order via
+        ChannelDataset.next_keys, decoder-CSI noise keys likewise."""
+        cfg = self.cfg
+        ds = self.val_dataset
+        n = len(snrs)
+        keys = [ds.next_keys() for _ in snrs]
+        csi_keys = tuple(
+            self._next_key() if cfg.noisy_est_var > 0 else None for _ in snrs)
+        di = jnp.asarray(cfg.data_indices("val"))
+
+        if self._sweep_tail is None or self._sweep_tail[0] != tuple(snrs):
+            def tail(params_tuple, keys, csi_keys, di):
+                dets, txs = [], []
+                for i, snr in enumerate(snrs):
+                    tx, rx = ds.generate(keys[i][0], keys[i][1], snr, cfg.gamma)
+                    h = estimate_channel_batch(
+                        cfg.memory_length, cfg.gamma, jnp.arange(tx.shape[0]),
+                        channel_coefficients=cfg.channel_coefficients,
+                        noisy_est_var=cfg.noisy_est_var,
+                        fading=cfg.fading_in_decoder,
+                        fading_taps_type=cfg.fading_taps_type,
+                        noise_key=csi_keys[i],
+                    )
+                    dets.append(self._detect_batch(params_tuple[i], rx, h))
+                    txs.append(tx)
+                det_all = jnp.concatenate(dets, axis=0)
+                if cfg.use_ecc:
+                    dec_all, _ = rs_decode_bits(det_all, cfg.n_symbols)
+                else:
+                    dec_all = det_all
+                w = txs[0].shape[0]
+                return jnp.stack([
+                    error_rates(dec_all[i * w:(i + 1) * w][di], txs[i][di])[0]
+                    for i in range(len(snrs))
+                ])
+
+            self._sweep_tail = (tuple(snrs), jax.jit(tail))
+        out = self._sweep_tail[1](tuple(params_per_snr), tuple(keys),
+                                  csi_keys, di)
+        return np.asarray(out)
 
     def eval_by_word(self, snr: float, gamma: float) -> np.ndarray:
         """The online adaptation loop (trainer.py:267-354) — one fused

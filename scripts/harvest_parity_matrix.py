@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Fold completed parity-matrix cells (/tmp/parity_campaign/{ref,ours}_*.json,
-written by the run_r{2,3}_* runner scripts) into
-resources/reference_baselines.json under "r3_parity_matrix".
+written by the run_r{2,3,4}_* runner scripts) into
+resources/reference_baselines.json under "r4_parity_matrix".
 
 Cells are keyed (detector, mode, channel, snr); each side holds a seed->BER
 map. Where both sides exist the same combined binomial + across-seed z test
@@ -9,9 +9,11 @@ as scripts/parity_campaign.py is applied (symmetric: |z|>=3 flags deviation
 in either direction; significantly-lower-ours is labeled BETTER, not PARITY).
 Cells with ours runs but no ref cell file are joined against the round-1
 reference values archived in "by_word_campaign_snr10" when the protocol
-matches (10 dB, time_decay) — those pairs carry ref_source so provenance
-stays visible. Safe to re-run as more cells land — it rewrites the whole
-section from the cell files each time.
+matches (10 dB, time_decay) — those pairs carry ref_source AND are counted
+separately from the headline same-round pairs (the archived side comes from
+a different campaign era, so the pairing is statistically weaker). Safe to
+re-run as more cells land — it rewrites the whole section from the cell
+files each time.
 
     python scripts/harvest_parity_matrix.py [--dir /tmp/parity_campaign]
 """
@@ -96,6 +98,7 @@ def main():
     cells = collect(args.dir)
     section: dict[str, dict] = {}
     n_pairs = 0
+    n_joined = 0
     for (det, mode, ch, snr), sides in sorted(cells.items()):
         name = f"{det}_{mode}" + ("" if ch == "time_decay" else f"_{ch}")
         entry = section.setdefault(name, {"channel": ch, "points": {}})
@@ -103,6 +106,7 @@ def main():
         for side in ("ref", "ours"):
             if sides[side]:
                 pt[side] = [sides[side][s] for s in sorted(sides[side])]
+        joined = False
         if sides["ours"] and not sides["ref"] and ch == "time_decay" \
                 and snr == 10.0 and (det, mode) in R1_SNR10_KEYS:
             r1 = [x for x in r1_snr10.get(R1_SNR10_KEYS[det, mode], {})
@@ -110,22 +114,32 @@ def main():
             if r1:
                 pt["ref"] = r1
                 pt["ref_source"] = "by_word_campaign_snr10 (round-1 archive)"
+                joined = True
         if pt.get("ref") and pt.get("ours"):
             pt.update(z_verdict(pt["ref"], pt["ours"]))
-            n_pairs += 1
+            if joined:
+                n_joined += 1  # cross-era join: provenance-tagged, not headline
+            else:
+                n_pairs += 1
         entry["points"][str(snr)] = pt
 
-    base.pop("r2_parity_matrix", None)
-    base["r3_parity_matrix"] = {
+    base.pop("r3_parity_matrix", None)
+    base["r4_parity_matrix"] = {
         "description": (
-            "Round-3 parity matrix over BASELINE.md's 8-14 dB band and the "
-            "COST2100 channel (VERDICT r2 items 1/6/8): full by-word protocol "
-            "(300 blocks, nsym=2, type-2 test channel / COST2100 measured "
-            "taps, train-on-miss on the type-1 synthetic channel), reference "
-            "(torch CPU) vs this framework, per-seed mean coded BER on data "
-            "blocks. z: combined binomial + across-seed sigma, symmetric "
-            "3-sigma test (scripts/harvest_parity_matrix.py)."),
+            "Round-4 parity matrix: BASELINE.md's 8-14 dB time_decay band "
+            "plus the 7 dB band edge, and COST2100 anchors for ALL seven "
+            "flagship curves of plotter_main.py:143-149 (VERDICT r3 items "
+            "1/3/7): full by-word protocol (300 blocks, nsym=2, type-2 test "
+            "channel / COST2100 measured taps, train-on-miss on the type-1 "
+            "synthetic channel), reference (torch CPU) vs this framework, "
+            "per-seed mean coded BER on data blocks. z: combined binomial + "
+            "across-seed sigma, symmetric 3-sigma test "
+            "(scripts/harvest_parity_matrix.py). Headline pair counts use "
+            "same-round runs only; pairs joined against the round-1 archive "
+            "carry ref_source and are tallied separately."),
         "cells": section,
+        "n_pairs_same_round": n_pairs,
+        "n_pairs_joined_r1_archive": n_joined,
     }
     with open(BASELINES, "w") as f:
         json.dump(base, f, indent=1)
@@ -134,7 +148,8 @@ def main():
     done_ref = sum(len(v["ref"]) for v in cells.values())
     done_ours = sum(len(v["ours"]) for v in cells.values())
     print(f"harvested {len(cells)} (det,mode,ch,snr) cells "
-          f"({done_ref} ref runs, {done_ours} ours runs, {n_pairs} compared)")
+          f"({done_ref} ref runs, {done_ours} ours runs, {n_pairs} compared "
+          f"same-round + {n_joined} joined-vs-r1-archive)")
     for name, entry in section.items():
         for snr, pt in entry["points"].items():
             if "verdict" in pt:

@@ -52,8 +52,9 @@ def rate(fn, y, words) -> dict:
             "best_msym_s": round(vals[-1] / 1e6, 1)}
 
 
-def check_exact(y) -> int:
-    """On-chip bit-equality of chunked vs plain at this shape."""
+def check_exact(y) -> dict:
+    """On-chip bit-equality of chunked vs plain at this shape: per-chunk-count
+    mismatch totals."""
     params = viterbinet.init_params(jax.random.PRNGKey(0), S)
     plain = np.asarray(fused_viterbinet_detect(params, y))
     diffs = {}

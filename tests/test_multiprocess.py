@@ -20,14 +20,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_run():
-    nproc, port = 2, _free_port()
-    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
-    # keep the axon TPU plugin out of the workers: the tunnel is single-client
-    # and this test must run while the chip is busy elsewhere
-    env["PYTHONPATH"] = REPO
-    env.pop("XLA_FLAGS", None)  # worker sets its own device count
-
+def _launch(nproc: int, port: int, env: dict):
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(rank), str(nproc), str(port)],
@@ -44,6 +37,28 @@ def test_two_process_distributed_run():
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return procs, outs
+
+
+def test_two_process_distributed_run():
+    nproc = 2
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    # keep the axon TPU plugin out of the workers: the tunnel is single-client
+    # and this test must run while the chip is busy elsewhere
+    env["PYTHONPATH"] = REPO
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+
+    # _free_port closes the probe socket before the coordinator binds — a
+    # TOCTOU window another process can land in. Retry the whole launch on a
+    # fresh port when the failure is a coordinator bind error.
+    for attempt in range(3):
+        procs, outs = _launch(nproc, _free_port(), env)
+        if all(p.returncode == 0 for p in procs):
+            break
+        bindy = any("address already in use" in o.lower()
+                    or "failed to bind" in o.lower() for o in outs)
+        if not (bindy and attempt < 2):
+            break
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
         assert f"OK rank {rank}" in out, out

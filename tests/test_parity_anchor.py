@@ -63,11 +63,13 @@ def test_vnet_joint_by_word_matches_reference_band(tmp_path):
 def test_va_cost2100_matches_reference_band():
     """COST2100 anchor (VERDICT r2 item 1): full-CSI VA on the measured-tap
     channel at 8 dB, against the reference values harvested into the round-3
-    parity matrix (r3_parity_matrix.va_joint_cost2100). The by-word 'joint'
-    cell is detection-only (no adaptation), and every block carries the same
-    120 data bits, so the aggregated pooled BER equals the by-word per-block
-    mean — this anchors the same number without the 300-block engine."""
-    pt = BASELINES["r3_parity_matrix"]["cells"]["va_joint_cost2100"]["points"]["8.0"]
+    parity matrix (r{3,4}_parity_matrix.va_joint_cost2100). The by-word
+    'joint' cell is detection-only (no adaptation), and every block carries
+    the same 120 data bits, so the aggregated pooled BER equals the by-word
+    per-block mean — this anchors the same number without the 300-block
+    engine."""
+    matrix = BASELINES.get("r4_parity_matrix") or BASELINES["r3_parity_matrix"]
+    pt = matrix["cells"]["va_joint_cost2100"]["points"]["8.0"]
     ref = float(np.mean(pt["ref"]))  # 0.0119
     cfg = Config(use_ecc=True, n_symbols=2, val_frames=12,
                  val_SNR_start=8.0, val_SNR_end=8.0,

@@ -146,6 +146,41 @@ def test_clip_grad_norm_optimizer():
     assert float(jnp.linalg.norm(updates0["w"])) > 100.0
 
 
+def test_fused_snr_sweep_matches_sequential(tmp_path):
+    """The one-dispatch multi-SNR aggregated eval (sweep_eval_fused) must
+    reproduce the per-SNR sequential loop exactly: same dataset PRNG stream,
+    same decoder CSI, same per-SNR params routing. Checked for the
+    parameterless VA and for a parameterized detector with DIFFERENT params
+    per SNR (the per-SNR checkpoint semantics, trainer.py:249-251)."""
+    cfg = tiny_cfg(tmp_path, use_ecc=False, val_SNR_start=8.0,
+                   val_SNR_end=12.0, val_SNR_step=2.0)
+    snrs = [float(s) for s in cfg.snr_range("val")]
+
+    # VA (params None per point)
+    seq = Trainer(cfg, "va", verbose=False)
+    expected = [seq.single_eval_at_point(None, s, cfg.gamma) for s in snrs]
+    fused = Trainer(cfg, "va", verbose=False)
+    got = fused.sweep_eval_fused(snrs, tuple(None for _ in snrs))
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+    # vnet with distinct random params per SNR
+    seq = Trainer(cfg, "vnet", verbose=False)
+    params_per_snr = tuple(seq.init_params() for _ in snrs)
+    expected = [seq.single_eval_at_point(p, s, cfg.gamma)
+                for p, s in zip(params_per_snr, snrs)]
+    fused = Trainer(cfg, "vnet", verbose=False)
+    got = fused.sweep_eval_fused(snrs, params_per_snr)
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+    # with noisy decoder CSI the per-point key stream must also line up
+    ncfg = cfg.replace(noisy_est_var=0.1)
+    seq = Trainer(ncfg, "va", verbose=False)
+    expected = [seq.single_eval_at_point(None, s, ncfg.gamma) for s in snrs]
+    fused = Trainer(ncfg, "va", verbose=False)
+    got = fused.sweep_eval_fused(snrs, tuple(None for _ in snrs))
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
 def test_noisy_csi_degrades_va(tmp_path):
     """noisy_est_var adds Gaussian noise to the decoder-side taps
     (reference channel_estimation.py:35-36) — the full-CSI VA must degrade
