@@ -57,6 +57,65 @@ def _route_matrix(n_states: int) -> np.ndarray:
     return m
 
 
+def _pair_matrices(n_states: int) -> np.ndarray:
+    """[8S, S] stacked gather matrices for the two-step composed ACS.
+
+    Rows 0..4S-1 (Rbig): row j*S+s selects total[(4s+j) % S] — the j-th
+    grand-predecessor of state s (pred of pred, trellis_utils.py:7-13 applied
+    twice). Rows 4S..8S-1 (Pbig): row j*S+s selects prior2[(2s + j//2) % S] —
+    the intermediate state the j-th grand-predecessor path passes through.
+    0/1 rows, so the gather-by-matmul is float-exact."""
+    S = n_states
+    m = np.zeros((8 * S, S), np.float32)
+    for j in range(4):
+        for s in range(S):
+            m[j * S + s, (4 * s + j) % S] = 1.0
+            m[4 * S + j * S + s, (2 * s + j // 2) % S] = 1.0
+    return m
+
+
+def _acs_step2(in_prob, p1, cbig, route, rbig, state_iota):
+    """Two composed ACS stages in one chain step (VERDICT r3 item 5).
+
+    Returns (bit_t [1,128], bit_{t+1} [1,128], metrics entering t+2).
+
+    BIT-EXACT vs two `_acs_step` calls: min commutes with the monotone
+    per-element float ops (x - g1) + p2, the 0/1 gather matmuls are exact,
+    the grouped-min association matches the plain kernel's pairwise mins,
+    and step-1's renorm constant equals the per-lane global min of
+    `total = m + p1` (every total element appears in some selected pair).
+    The serial chain per two symbols shrinks from 2×(add→roll→min→route
+    matmul→renorm) to one [4S,S]@[S,tile] matmul + adds + a 2-level min
+    tree; the t+1 readout and the cbig gather hang OFF the chain, so the
+    scheduler overlaps them with the next composed step."""
+    n_states = in_prob.shape[0]
+    m = jnp.min(in_prob, axis=0, keepdims=True)
+    first_idx = jnp.min(
+        jnp.where(in_prob == m, state_iota, jnp.float32(n_states)),
+        axis=0, keepdims=True)
+    bit0 = first_idx % 2.0
+    total = in_prob + p1
+    g1 = jnp.min(total, axis=0, keepdims=True)           # == renorm-1 min
+    # OFF-CHAIN: metrics entering t+1 (readout only — feeds nothing below)
+    m_all = jnp.minimum(total, pltpu.roll(total, n_states - 1, 0))
+    new1 = jnp.dot(route, m_all, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST) - g1
+    m1 = jnp.min(new1, axis=0, keepdims=True)            # exactly 0.0
+    fi1 = jnp.min(
+        jnp.where(new1 == m1, state_iota, jnp.float32(n_states)),
+        axis=0, keepdims=True)
+    bit1 = fi1 % 2.0
+    # CHAIN: composed (min,+) step over the four grand-predecessors
+    t1 = jnp.dot(rbig, total, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)    # [4S, tile]
+    t2 = (t1 - g1) + cbig
+    S = n_states
+    m4 = jnp.minimum(jnp.minimum(t2[0:S], t2[S:2 * S]),
+                     jnp.minimum(t2[2 * S:3 * S], t2[3 * S:4 * S]))
+    new = m4 - jnp.min(m4, axis=0, keepdims=True)
+    return bit0, bit1, new
+
+
 def _acs_step(in_prob, prior_t, route, state_iota):
     """One ACS stage in [S, 128] layout. Returns (bit_row [1,128], new metrics).
 
@@ -83,8 +142,9 @@ def _acs_step(in_prob, prior_t, route, state_iota):
 
 
 def _detect_kernel(y_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
-                   b3_ref, route_ref, out_ref, *, n_states: int, T: int,
-                   tile_w: int, overlap: int = 0):
+                   b3_ref, route_ref, pair_ref, out_ref, *, n_states: int,
+                   T: int, tile_w: int, overlap: int = 0,
+                   two_step: bool = False):
     # y_ref: [T, tile_w] — symbols on sublanes, words on lanes. Wide tiles
     # (up to 4096 lanes) give the metric matmuls a full-width N AND keep the
     # activations in VMEM — zero HBM round-trips between the MLP layers.
@@ -109,6 +169,37 @@ def _detect_kernel(y_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
 
     in_prob = jnp.zeros((n_states, tile_w), jnp.float32)
     rows = []
+    if two_step:
+        # priors precomputed for all T — the MLP hangs entirely OFF the
+        # serial ACS chain (it only reads y), as does each pair's second-
+        # prior gather cbig; the chain is T//2 composed _acs_step2 calls.
+        rbig = pair_ref[0:4 * n_states]
+        pbig = pair_ref[4 * n_states:]
+        priors = []
+        for t in range(T):
+            y_t = y_ref[t:t + 1, :]
+            h1 = jax.nn.sigmoid(w1 * y_t + b1)
+            h2 = jax.nn.relu(
+                jnp.dot(w2, h1.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) + b2)
+            logits = jnp.dot(w3, h2.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32) + b3
+            prior = -logits
+            if t < overlap:
+                prior = prior * warm
+            priors.append(prior)
+        for t in range(0, T - 1, 2):
+            cbig = jnp.dot(pbig, priors[t + 1],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            b0, b1_, in_prob = _acs_step2(in_prob, priors[t], cbig, route,
+                                          rbig, state_iota)
+            rows += [b0, b1_]
+        if T % 2:
+            bit, in_prob = _acs_step(in_prob, priors[-1], route, state_iota)
+            rows.append(bit)
+        out_ref[:] = jnp.concatenate(rows, axis=0)
+        return
     for t in range(T):
         y_t = y_ref[t:t + 1, :]                       # [1, tile_w]
         h1 = jax.nn.sigmoid(w1 * y_t + b1)            # [H1, tile_w] broadcast
@@ -153,7 +244,8 @@ def _col(v):
     return v.reshape(-1, 1)
 
 
-def _run_detect_kernel(params, y_cols, mask_row, overlap: int):
+def _run_detect_kernel(params, y_cols, mask_row, overlap: int,
+                       two_step: bool = False):
     """Shared pallas_call for the plain and time-chunked fused detectors.
 
     y_cols: [T, W] (symbols on sublanes, words on lanes);
@@ -164,7 +256,8 @@ def _run_detect_kernel(params, y_cols, mask_row, overlap: int):
         raise ValueError(f"W={W} must be a multiple of {LANE_W}")
     tile_w = _pick_tile_w(W, T)
     kernel = functools.partial(_detect_kernel, n_states=n_states, T=T,
-                               tile_w=tile_w, overlap=overlap)
+                               tile_w=tile_w, overlap=overlap,
+                               two_step=two_step)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
@@ -172,7 +265,7 @@ def _run_detect_kernel(params, y_cols, mask_row, overlap: int):
         in_specs=[
             pl.BlockSpec((T, tile_w), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_w), lambda i: (0, i), memory_space=pltpu.VMEM),
-            vmem, vmem, vmem, vmem, vmem, vmem, vmem,
+            vmem, vmem, vmem, vmem, vmem, vmem, vmem, vmem,
         ],
         out_specs=pl.BlockSpec((T, tile_w), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
@@ -180,11 +273,12 @@ def _run_detect_kernel(params, y_cols, mask_row, overlap: int):
         interpret=_interpret(),
     )(y_cols, mask_row, params["w1"], _col(params["b1"]), params["w2"],
       _col(params["b2"]), params["w3"], _col(params["b3"]),
-      jnp.asarray(_route_matrix(n_states)))
+      jnp.asarray(_route_matrix(n_states)),
+      jnp.asarray(_pair_matrices(n_states)))
     return out.T
 
 
-def fused_viterbinet_detect(params, y):
+def fused_viterbinet_detect(params, y, two_step: bool = False):
     """ViterbiNet hard decode via the fused Pallas kernel.
 
     params: viterbinet param pytree; y: [W, T] with W % 128 == 0
@@ -196,14 +290,22 @@ def fused_viterbinet_detect(params, y):
     magnitude below the unfused scan path's activation round-trips.
     Bit-identical to the scan path on TPU (both run bf16 matmuls);
     near-identical under CPU interpret (tests/test_kernels.py).
+
+    two_step=True composes consecutive ACS pairs into one chain step
+    (`_acs_step2`, VERDICT r3 item 5): the T-step serial chain halves,
+    trading extra off-chain gather matmuls — the latency lever for
+    small eval batches. Bit-exact vs two_step=False by construction
+    (tests/test_kernels.py::test_two_step_bit_exact).
     """
     W, T = y.shape
     ones = jnp.ones((1, W), jnp.float32)
-    return _run_detect_kernel(params, y.T, ones, overlap=0)
+    return _run_detect_kernel(params, y.T, ones, overlap=0,
+                              two_step=two_step)
 
 
 def fused_viterbinet_detect_chunked(params, y, n_chunks: int,
-                                    overlap: int = 32):
+                                    overlap: int = 32,
+                                    two_step: bool = False):
     """Time-chunked fused detect: trade redundant warm-up FLOPs for batch
     width at small word counts (VERDICT r2 item 5).
 
@@ -238,7 +340,7 @@ def fused_viterbinet_detect_chunked(params, y, n_chunks: int,
     # lane j = w*n_chunks + c holds chunk c of word w: mask 0 iff c == 0
     mask = (jnp.arange(W * n_chunks) % n_chunks != 0).astype(jnp.float32)
     bits = _run_detect_kernel(params, flat.T, mask.reshape(1, -1),
-                              overlap=overlap)
+                              overlap=overlap, two_step=two_step)
     return bits[:, overlap:].reshape(W, T)
 
 

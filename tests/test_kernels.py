@@ -159,3 +159,71 @@ def test_with_pallas_detect_time_chunks_matches_plain():
     y2 = jnp.asarray(rng.normal(size=(100, 50)).astype(np.float32))
     np.testing.assert_array_equal(np.asarray(chunked.detect(params, y2, None)),
                                   np.asarray(plain.detect(params, y2, None)))
+
+
+def test_pair_matrices_encode_grand_predecessors():
+    from metaviterbinet_tpu.kernels.acs import _pair_matrices
+
+    for S in (4, 16):
+        m = _pair_matrices(S)
+        rbig, pbig = m[:4 * S], m[4 * S:]
+        for j in range(4):
+            for s in range(S):
+                assert rbig[j * S + s, (4 * s + j) % S] == 1.0
+                assert rbig[j * S + s].sum() == 1.0
+                assert pbig[j * S + s, (2 * s + j // 2) % S] == 1.0
+                assert pbig[j * S + s].sum() == 1.0
+
+
+@pytest.mark.parametrize("T", [48, 49])  # even and odd (leftover single step)
+def test_two_step_bit_exact(T):
+    """two_step=True composes ACS pairs into one (min,+) chain step; by the
+    monotone-min commutation argument in _acs_step2's docstring it must be
+    BIT-EXACT vs the plain kernel — not just statistically close — on the
+    same backend, including renorm behavior and exact-tie readout."""
+    rng = np.random.default_rng(11)
+    params = viterbinet.init_params(jax.random.PRNGKey(0), 16)
+    y = jnp.asarray(rng.normal(size=(128, T)).astype(np.float32))
+    plain = np.asarray(fused_viterbinet_detect(params, y))
+    got = np.asarray(fused_viterbinet_detect(params, y, two_step=True))
+    np.testing.assert_array_equal(got, plain)
+
+
+def test_two_step_exact_ties():
+    """Exact ties (renorm pins the running min to 0.0) must break toward the
+    lowest state index in the two-step path too — both the even-step readout
+    (from chain metrics) and the odd-step readout (from the off-chain new1)."""
+    from metaviterbinet_tpu.kernels.acs import _run_detect_kernel
+
+    S, W, T = 16, 128, 6
+    # craft priors that force ties: all-equal priors => metrics stay uniform
+    # (every state tied at 0.0), so every readout is a maximal tie set
+    params = viterbinet.init_params(jax.random.PRNGKey(0), S)
+    zero = {k: jnp.zeros_like(v) for k, v in params.items()}
+    y = jnp.zeros((W, T), jnp.float32)
+    plain = np.asarray(fused_viterbinet_detect(zero, y))
+    got = np.asarray(fused_viterbinet_detect(zero, y, two_step=True))
+    np.testing.assert_array_equal(got, plain)
+    assert (plain == 0.0).all()  # tie -> state 0 -> bit 0
+
+
+def test_two_step_chunked_composes():
+    """two_step works inside the time-chunked kernel (warm-up masking per
+    symbol is applied to the precomputed priors identically)."""
+    from metaviterbinet_tpu.kernels.acs import fused_viterbinet_detect_chunked
+
+    rng = np.random.default_rng(13)
+    params = viterbinet.init_params(jax.random.PRNGKey(0), 16)
+    from metaviterbinet_tpu.ops.channel import isi_awgn_transmit
+    from metaviterbinet_tpu.ops.modulation import bpsk_modulate
+
+    W, T = 128, 128
+    bits = rng.integers(0, 2, size=(W, T)).astype(np.float32)
+    h = np.tile(np.exp(-0.2 * np.arange(4)), (W, 1)).astype(np.float32)
+    padded = np.concatenate([bits, np.zeros((W, 4))], axis=1)
+    y = isi_awgn_transmit(jnp.asarray(bpsk_modulate(padded)), jnp.asarray(h),
+                          10.0, jax.random.PRNGKey(5), 4)[:, :T]
+    plain = np.asarray(fused_viterbinet_detect(params, y))
+    got = np.asarray(fused_viterbinet_detect_chunked(params, y, 2, overlap=32,
+                                                     two_step=True))
+    np.testing.assert_array_equal(got, plain)
