@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Fold completed parity-matrix cells (/tmp/parity_campaign/{ref,ours}_*.json,
 written by the run_r{2,3,4}_* runner scripts) into
-resources/reference_baselines.json under "r4_parity_matrix".
+resources/reference_baselines.json under "r4_parity_matrix" (additive:
+r3_parity_matrix is left intact — its cell cache is gone, so the committed
+section is the only record of those 25 compared cells).
 
 Cells are keyed (detector, mode, channel, snr); each side holds a seed->BER
 map. Where both sides exist the same combined binomial + across-seed z test
@@ -123,13 +125,18 @@ def main():
                 n_pairs += 1
         entry["points"][str(snr)] = pt
 
-    base.pop("r3_parity_matrix", None)
+    # r3_parity_matrix stays: its 25 compared cells were run from a /tmp cell
+    # cache that no longer exists, so the committed section is their only
+    # record. r4 is purely additive (new cells this round); consumers
+    # (render_parity_overlay) merge both, r4 winning at overlapping keys.
     base["r4_parity_matrix"] = {
         "description": (
-            "Round-4 parity matrix: BASELINE.md's 8-14 dB time_decay band "
-            "plus the 7 dB band edge, and COST2100 anchors for ALL seven "
-            "flagship curves of plotter_main.py:143-149 (VERDICT r3 items "
-            "1/3/7): full by-word protocol (300 blocks, nsym=2, type-2 test "
+            "Round-4 parity matrix — NEW cells this round, extending "
+            "r3_parity_matrix (VERDICT r3 items 1/3/7): COST2100 anchors for "
+            "the three previously-unpaired flagship curves (vnet_joint, "
+            "lstm_joint, lstm_online), meta_lstm time_decay band edges "
+            "8/14 dB, and the 7 dB band edge for va/vnet_online/meta_vnet: "
+            "full by-word protocol (300 blocks, nsym=2, type-2 test "
             "channel / COST2100 measured taps, train-on-miss on the type-1 "
             "synthetic channel), reference (torch CPU) vs this framework, "
             "per-seed mean coded BER on data blocks. z: combined binomial + "
