@@ -90,6 +90,12 @@ class Config:
     # with the plain kernel needs decode_overlap >= trellis forgetting depth
     # (~8*memory_length); asserted in tests and measured on-chip
     # (resources/kernel_dispatch.json eval_width_occupancy).
+    eval_two_step: bool = False  # opt-in: compose consecutive ACS steps into
+    # one (min,+) routing matmul inside the fused kernel (serial chain
+    # 136 -> 68). Bit-exact vs the plain kernel by construction; +23%
+    # device-side at the 384-word eval width without overlap-save's
+    # redundant warm-up work (resources/kernel_dispatch.json
+    # two_step_compaction). Composes with eval_time_chunks.
     buffer_capacity: int = 300  # fixed ring-buffer capacity for the fused online loop
     weights_dir: Optional[str] = None
 

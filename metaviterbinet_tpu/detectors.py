@@ -92,7 +92,8 @@ _MODEL_OF = {"vnet": viterbinet, "meta_vnet": viterbinet,
 
 def with_pallas_detect(spec: DetectorSpec, time_chunks: int = 0,
                        overlap: int = 32,
-                       memory_length: int = 4) -> DetectorSpec:
+                       memory_length: int = 4,
+                       two_step: bool = False) -> DetectorSpec:
     """Specialize a ViterbiNet-family spec to the fused Pallas metric+ACS
     kernel for batch detection (Config.use_pallas; None = auto-on for TPU).
 
@@ -113,6 +114,11 @@ def with_pallas_detect(spec: DetectorSpec, time_chunks: int = 0,
     below the ~8*memory_length trellis forgetting depth the bit-exactness
     measurement was taken at — a too-shallow warm-up would silently diverge
     from the plain kernel).
+
+    two_step (Config.eval_two_step) composes consecutive ACS steps into one
+    (min,+) routing matmul (serial chain T -> T/2; bit-exact by
+    construction) — +23% device-side at the 384-word eval width, composable
+    with time_chunks (resources/kernel_dispatch.json two_step_compaction).
     """
     if spec.name not in ("vnet", "meta_vnet"):
         return spec
@@ -134,9 +140,9 @@ def with_pallas_detect(spec: DetectorSpec, time_chunks: int = 0,
         if time_chunks > 1 and T % time_chunks == 0 \
                 and T // time_chunks >= overlap:
             bits = fused_viterbinet_detect_chunked(
-                params, ypad, time_chunks, overlap)
+                params, ypad, time_chunks, overlap, two_step=two_step)
         else:
-            bits = fused_viterbinet_detect(params, ypad)
+            bits = fused_viterbinet_detect(params, ypad, two_step=two_step)
         return bits[:W].astype(y.dtype)
 
     from dataclasses import replace

@@ -86,7 +86,8 @@ class Trainer:
         if use_pallas:
             self.spec = with_pallas_detect(self.spec, cfg.eval_time_chunks,
                                            cfg.decode_overlap,
-                                           cfg.memory_length)
+                                           cfg.memory_length,
+                                           cfg.eval_two_step)
         if cfg.mesh_shape:
             # data-parallel batch detection over a device mesh (words axis);
             # the online engine is sequential-over-blocks and stays one-device

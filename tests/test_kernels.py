@@ -161,6 +161,25 @@ def test_with_pallas_detect_time_chunks_matches_plain():
                                   np.asarray(plain.detect(params, y2, None)))
 
 
+def test_with_pallas_detect_two_step_matches_plain():
+    """Config.eval_two_step routes batch detection through the pair-composed
+    kernel and must bit-match the plain kernel path, alone and composed with
+    time_chunks."""
+    from metaviterbinet_tpu.detectors import DETECTORS, with_pallas_detect
+
+    rng = np.random.default_rng(11)
+    params = viterbinet.init_params(jax.random.PRNGKey(0), 16)
+    y = jnp.asarray(rng.normal(size=(100, 128)).astype(np.float32))
+    plain = with_pallas_detect(DETECTORS["vnet"])
+    want = np.asarray(plain.detect(params, y, None))
+    two = with_pallas_detect(DETECTORS["vnet"], two_step=True)
+    np.testing.assert_array_equal(np.asarray(two.detect(params, y, None)), want)
+    both = with_pallas_detect(DETECTORS["vnet"], time_chunks=4, overlap=32,
+                              two_step=True)
+    np.testing.assert_array_equal(np.asarray(both.detect(params, y, None)),
+                                  want)
+
+
 def test_pair_matrices_encode_grand_predecessors():
     from metaviterbinet_tpu.kernels.acs import _pair_matrices
 
