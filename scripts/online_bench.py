@@ -37,7 +37,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--streams", type=int, default=64)
+    ap.add_argument("--streams", type=int, default=None,
+                    help="multi-stream width (default: 64 for online mode; "
+                         "meta mode skips multi-stream unless given — the "
+                         "vmapped MAML engines are memory-hungry)")
     ap.add_argument("--detector", default="vnet")
     ap.add_argument("--mode", default="online", choices=["online", "meta"])
     ap.add_argument("--platform", default=None)
@@ -95,11 +98,11 @@ def main():
         "compile_plus_first_run_s": round(compile_s, 1),
         "blocks_per_s": round(n_words / dt1, 1),
     }))
-    if args.mode == "meta":
+    if args.mode == "meta" and args.streams is None:
         return  # the MAML engine's serving number is the single-stream one
 
     # ---- 2. N concurrent streams (per-stream adapting params) ---------------
-    N = args.streams
+    N = args.streams or 64
     keys = jax.random.split(jax.random.PRNGKey(2), N)
     pstack = jax.vmap(lambda k: spec.init(k, cfg))(keys)
     # each stream sees its own noise realization: vary rx by reusing the
@@ -113,7 +116,7 @@ def main():
     fence(out)
     dtN = (time.perf_counter() - t0) / 2
     print(json.dumps({
-        "metric": "online_adaptation_multi_stream",
+        "metric": f"{args.mode}_adaptation_multi_stream",
         "streams": N,
         "value": round(dtN, 4), "unit": "s / 300-block eval x N streams",
         "aggregate_blocks_per_s": round(N * n_words / dtN, 1),
