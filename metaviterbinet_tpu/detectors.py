@@ -94,8 +94,11 @@ def with_pallas_detect(spec: DetectorSpec, time_chunks: int = 0,
                        overlap: int = 32,
                        memory_length: int = 4,
                        two_step: bool = False) -> DetectorSpec:
-    """Specialize a ViterbiNet-family spec to the fused Pallas metric+ACS
-    kernel for batch detection (Config.use_pallas; None = auto-on for TPU).
+    """Specialize a spec to the fused Pallas metric+ACS kernel for batch
+    detection (Config.use_pallas; None = auto-on for TPU): the MLP-metric
+    kernel for the vnet family, the analytic-metric kernel for va
+    (LSTM-family batch detection stays on the XLA scan — its recurrence is
+    MXU-friendly as-is).
 
     The kernel wants the words axis padded to a lane multiple (128); the
     wrapper pads and slices. Off-TPU it runs in interpret mode (slow — meant
@@ -120,6 +123,24 @@ def with_pallas_detect(spec: DetectorSpec, time_chunks: int = 0,
     construction) — +23% device-side at the 384-word eval width, composable
     with time_chunks (resources/kernel_dispatch.json two_step_compaction).
     """
+    if spec.name == "va":
+        # full-CSI VA: analytic Gaussian priors fused into the ACS kernel
+        # (kernels/acs.py::fused_va_detect) — no [W,T,S] prior tensor in HBM
+        from metaviterbinet_tpu.kernels.acs import LANE_W, fused_va_detect
+        from metaviterbinet_tpu.models.va import state_symbols
+
+        def va_detect(params, y, h):
+            W, T = y.shape
+            Wp = -(-W // LANE_W) * LANE_W
+            mu = h @ jnp.asarray(state_symbols(2 ** h.shape[-1],
+                                               h.shape[-1])).T
+            bits = fused_va_detect(jnp.pad(y, ((0, Wp - W), (0, 0))),
+                                   jnp.pad(mu, ((0, Wp - W), (0, 0))),
+                                   two_step=two_step)
+            return bits[:W].astype(y.dtype)
+
+        from dataclasses import replace
+        return replace(spec, detect=va_detect)
     if spec.name not in ("vnet", "meta_vnet"):
         return spec
     from metaviterbinet_tpu.kernels.acs import (

@@ -344,6 +344,87 @@ def fused_viterbinet_detect_chunked(params, y, n_chunks: int,
     return bits[:, overlap:].reshape(W, T)
 
 
+_LOG_SQRT_2PI = float(np.log(np.sqrt(2.0 * np.pi)))
+
+
+def _va_kernel(y_ref, mu_ref, route_ref, pair_ref, out_ref, *, n_states: int,
+               T: int, tile_w: int, two_step: bool = False):
+    # Fused ANALYTIC-metric Viterbi (full-CSI VA, reference
+    # va_detector.py:42-100): per step the Gaussian NLL branch metric
+    # (y_t - mu_s)^2/2 - log sqrt(2pi) is two VPU ops on the [S, tile_w]
+    # state-mean block — no HBM prior tensor ([W,T,S] would be S x the y
+    # traffic), so the whole batch runs as ONE wide tile like the MLP
+    # kernel. mu_ref: [S, tile_w] per-word state means (h @ sym^T, computed
+    # in XLA — one tiny matmul). Same exact f32 expression as
+    # models/va.py::branch_priors, so bits match the scan path everywhere.
+    mu = mu_ref[:]
+    route = route_ref[:]
+    state_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (n_states, tile_w), 0).astype(jnp.float32)
+    in_prob = jnp.zeros((n_states, tile_w), jnp.float32)
+    rows = []
+
+    def prior_at(t):
+        diff = y_ref[t:t + 1, :] - mu
+        return diff ** 2 / 2 - _LOG_SQRT_2PI
+
+    if two_step:
+        rbig = pair_ref[0:4 * n_states]
+        pbig = pair_ref[4 * n_states:]
+        for t in range(0, T - 1, 2):
+            cbig = jnp.dot(pbig, prior_at(t + 1),
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            b0, b1_, in_prob = _acs_step2(in_prob, prior_at(t), cbig, route,
+                                          rbig, state_iota)
+            rows += [b0, b1_]
+        if T % 2:
+            bit, in_prob = _acs_step(in_prob, prior_at(T - 1), route,
+                                     state_iota)
+            rows.append(bit)
+    else:
+        for t in range(T):
+            bit, in_prob = _acs_step(in_prob, prior_at(t), route, state_iota)
+            rows.append(bit)
+    out_ref[:] = jnp.concatenate(rows, axis=0)
+
+
+def fused_va_detect(y, mu, two_step: bool = False):
+    """Full-CSI VA hard decode via the fused analytic-metric Pallas kernel.
+
+    y: [W, T] received samples, W % 128 == 0; mu: [W, S] per-word state
+    means (models/va.py: h @ state_symbols^T). Returns [W, T] bits,
+    bit-identical to ops.trellis.viterbi_decode(branch_priors(y, h)) —
+    the kernel evaluates the same f32 prior expression in VMEM instead of
+    materializing the [W, T, S] prior tensor in HBM.
+    """
+    W, T = y.shape
+    S = mu.shape[1]
+    if W % LANE_W != 0:
+        raise ValueError(f"W={W} must be a multiple of {LANE_W}")
+    tile_w = _pick_tile_w(W, T)
+    kernel = functools.partial(_va_kernel, n_states=S, T=T, tile_w=tile_w,
+                               two_step=two_step)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(W // tile_w,),
+        in_specs=[
+            pl.BlockSpec((T, tile_w), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, tile_w), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            vmem, vmem,
+        ],
+        out_specs=pl.BlockSpec((T, tile_w), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, W), jnp.float32),
+        interpret=_interpret(),
+    )(y.T, mu.T, jnp.asarray(_route_matrix(S)),
+      jnp.asarray(_pair_matrices(S)))
+    return out.T
+
+
 def _decode_kernel(priors_ref, route_ref, out_ref, *, n_states: int, T: int):
     route = route_ref[:]
     # Mosaic's tpu.iota is integer-only; cast after

@@ -180,6 +180,31 @@ def test_with_pallas_detect_two_step_matches_plain():
                                   want)
 
 
+def test_fused_va_detect_bit_identical():
+    """The analytic-metric VA kernel must bit-match the scan path
+    (viterbi_decode over branch_priors), alone and in two_step mode, and
+    through the with_pallas_detect padding wrapper."""
+    from metaviterbinet_tpu.detectors import DETECTORS, with_pallas_detect
+    from metaviterbinet_tpu.kernels.acs import fused_va_detect
+    from metaviterbinet_tpu.models import va
+
+    rng = np.random.default_rng(5)
+    W, T, L = 128, 40, 4
+    h = jnp.asarray(
+        np.exp(-0.2 * np.arange(L))[None] *
+        (1 + 0.1 * rng.normal(size=(W, L)))).astype(jnp.float32)
+    y = jnp.asarray(rng.normal(size=(W, T)).astype(np.float32))
+    want = np.asarray(va.detect(y, h))
+    mu = h @ jnp.asarray(va.state_symbols(2 ** L, L)).T
+    np.testing.assert_array_equal(np.asarray(fused_va_detect(y, mu)), want)
+    np.testing.assert_array_equal(
+        np.asarray(fused_va_detect(y, mu, two_step=True)), want)
+    # non-lane-multiple W through the dispatch wrapper
+    spec = with_pallas_detect(DETECTORS["va"])
+    np.testing.assert_array_equal(
+        np.asarray(spec.detect(None, y[:100], h[:100])), want[:100])
+
+
 def test_pair_matrices_encode_grand_predecessors():
     from metaviterbinet_tpu.kernels.acs import _pair_matrices
 
