@@ -68,8 +68,10 @@ def test_va_cost2100_matches_reference_band():
     the same 120 data bits, so the aggregated pooled BER equals the by-word
     per-block mean — this anchors the same number without the 300-block
     engine."""
-    matrix = BASELINES.get("r4_parity_matrix") or BASELINES["r3_parity_matrix"]
-    pt = matrix["cells"]["va_joint_cost2100"]["points"]["8.0"]
+    # r4_parity_matrix is additive (new cells only) — merge over r3's cells
+    cells = {**BASELINES.get("r3_parity_matrix", {}).get("cells", {}),
+             **BASELINES.get("r4_parity_matrix", {}).get("cells", {})}
+    pt = cells["va_joint_cost2100"]["points"]["8.0"]
     ref = float(np.mean(pt["ref"]))  # 0.0119
     cfg = Config(use_ecc=True, n_symbols=2, val_frames=12,
                  val_SNR_start=8.0, val_SNR_end=8.0,
