@@ -125,7 +125,12 @@ def with_pallas_detect(spec: DetectorSpec, time_chunks: int = 0,
     """
     if spec.name == "va":
         # full-CSI VA: analytic Gaussian priors fused into the ACS kernel
-        # (kernels/acs.py::fused_va_detect) — no [W,T,S] prior tensor in HBM
+        # (kernels/acs.py::fused_va_detect) — no [W,T,S] prior tensor in HBM.
+        # two_step defaults ON for VA: its batch eval is always protocol-
+        # width (300-word batches), where halving the serial chain wins
+        # +35% on-chip (149 vs 111 M sym/s at the 1920-lane sweep width,
+        # bit-exact); VA has no wide-batch throughput path that the 4x
+        # routing FLOPs could regress.
         from metaviterbinet_tpu.kernels.acs import LANE_W, fused_va_detect
         from metaviterbinet_tpu.models.va import state_symbols
 
@@ -136,7 +141,7 @@ def with_pallas_detect(spec: DetectorSpec, time_chunks: int = 0,
                                                h.shape[-1])).T
             bits = fused_va_detect(jnp.pad(y, ((0, Wp - W), (0, 0))),
                                    jnp.pad(mu, ((0, Wp - W), (0, 0))),
-                                   two_step=two_step)
+                                   two_step=True)
             return bits[:W].astype(y.dtype)
 
         from dataclasses import replace
