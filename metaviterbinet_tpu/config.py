@@ -95,7 +95,10 @@ class Config:
     # 136 -> 68). Bit-exact vs the plain kernel by construction; +23%
     # device-side at the 384-word eval width without overlap-save's
     # redundant warm-up work (resources/kernel_dispatch.json
-    # two_step_compaction). Composes with eval_time_chunks.
+    # two_step_compaction). Composes with eval_time_chunks. Applies to the
+    # vnet-family kernel only: the VA kernel ALWAYS runs two-step under
+    # use_pallas (bit-exact, +35% at its protocol-width-only eval batches —
+    # detectors.with_pallas_detect), so False cannot disable it there.
     buffer_capacity: int = 300  # fixed ring-buffer capacity for the fused online loop
     weights_dir: Optional[str] = None
 

@@ -13,7 +13,9 @@ Protocol parity:
   - aggregated eval loads a checkpoint per SNR; by_word loads only
     snr_range['val'][0] (trainer.py:249-251 vs :377).
   - checkpoints keyed snr_{snr}_gamma_{gamma} with lazy train-on-miss on the
-    synthetic fading_taps_type=1 channel (trainer.py:513-532).
+    time_decay train channel at the CONFIGURED fading type (trainer.py:513-532;
+    the reference's flip to type 1 there is a functional no-op — see
+    load_weights).
   - SER is computed on non-pilot words only (trainer.py:99-102).
 """
 from __future__ import annotations
@@ -38,7 +40,8 @@ from metaviterbinet_tpu.online.engine import make_online_engine
 from metaviterbinet_tpu.ops.channel import estimate_channel_batch
 from metaviterbinet_tpu.ops.metrics import error_rates
 from metaviterbinet_tpu.paths import WEIGHTS_DIR
-from metaviterbinet_tpu.train.checkpoint import load_params, save_params
+from metaviterbinet_tpu.train.checkpoint import (
+    load_params, save_config_provenance, save_params)
 from metaviterbinet_tpu.train.losses import make_loss_fn
 from metaviterbinet_tpu.train.loop import make_word_sweep
 from metaviterbinet_tpu.train.meta import make_maml_step, sorted_unique_mask
@@ -418,26 +421,33 @@ class Trainer:
     # ------------------------------------------------------------ checkpoints
     def save_weights(self, params, loss: float, snr: float, gamma: float,
                      opt_state=None):
+        # resolved-config provenance beside the checkpoints (trainer.py:132)
+        save_config_provenance(self.weights_dir, self.cfg)
         save_params(self.weights_dir, snr, gamma, params, loss,
                     opt_state=opt_state)
 
     def load_weights(self, snr: float, gamma: float):
-        """Load the (snr, gamma) checkpoint; on miss, train on the synthetic
-        type-1 fading channel first (trainer.py:513-532)."""
+        """Load the (snr, gamma) checkpoint; on miss, train first
+        (trainer.py:513-532).
+
+        Quirk (replicated): the reference *sets* self.fading_taps_type = 1
+        around the train-on-miss call (trainer.py:522-525), but its datasets
+        were already built at __init__ with the configured type
+        (channel_dataset.py:45 captures the int at construction) and nothing
+        re-reads the trainer attribute — so the flip is a functional no-op
+        and by_word cells (fading_taps_type=2) actually TRAIN on type-2-faded
+        time_decay words (fading_in_decoder=True, channel_dataset.py:73-78).
+        Rounds 1-4 here trained on type 1 per the reference's apparent
+        intent; that data-law difference was the cause of the one DIVERGENT
+        parity cell (lstm_joint COST2100 11 dB — see
+        resources/lstm_joint_crossload.json transplant bisection), so we
+        replicate the effect, not the intent: train on the configured type."""
         template = self.params if self.params is not None else self.init_params()
         restored = load_params(self.weights_dir, snr, gamma, template)
         if restored is not None:
             return restored
         self._log(f"No checkpoint for snr {snr} gamma {gamma} — training on miss")
-        orig_type = self.cfg.fading_taps_type
-        orig_train_ds = self.train_dataset
-        try:
-            self.cfg = self.cfg.replace(fading_taps_type=1)
-            self.train_dataset = ChannelDataset(self.cfg, "train")
-            self.train()
-        finally:
-            self.cfg = self.cfg.replace(fading_taps_type=orig_type)
-            self.train_dataset = orig_train_ds
+        self.train()
         restored = load_params(self.weights_dir, snr, gamma, template)
         if restored is None:
             raise FileNotFoundError(

@@ -12,14 +12,29 @@ train, switch back).
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Any, Optional
 
+import yaml
 from flax import serialization
 
 
 def ckpt_path(weights_dir: str, snr: float, gamma: float) -> str:
     return os.path.join(weights_dir, f"snr_{snr}_gamma_{gamma}.msgpack")
+
+
+def save_config_provenance(weights_dir: str, cfg: Any) -> str:
+    """Write the RESOLVED config into the weights dir so every checkpoint
+    directory is self-describing (the reference copies its config.yaml there,
+    trainer.py:132). Written once; an existing file is left untouched so the
+    provenance reflects the config that produced the first checkpoint."""
+    os.makedirs(weights_dir, exist_ok=True)
+    path = os.path.join(weights_dir, "config.yaml")
+    if not os.path.isfile(path):
+        with open(path, "w") as f:
+            yaml.safe_dump(dataclasses.asdict(cfg), f, sort_keys=False)
+    return path
 
 
 def save_params(weights_dir: str, snr: float, gamma: float, params: Any,

@@ -180,7 +180,9 @@ def test_with_pallas_detect_two_step_matches_plain():
                                   want)
 
 
-def test_fused_va_detect_bit_identical():
+@pytest.mark.parametrize("T", [40, 41])  # odd T covers the two_step
+# trailing single-step tail branch in _va_kernel (T % 2 == 1)
+def test_fused_va_detect_bit_identical(T):
     """The analytic-metric VA kernel must bit-match the scan path
     (viterbi_decode over branch_priors), alone and in two_step mode, and
     through the with_pallas_detect padding wrapper."""
@@ -189,7 +191,7 @@ def test_fused_va_detect_bit_identical():
     from metaviterbinet_tpu.models import va
 
     rng = np.random.default_rng(5)
-    W, T, L = 128, 40, 4
+    W, L = 128, 4
     h = jnp.asarray(
         np.exp(-0.2 * np.arange(L))[None] *
         (1 + 0.1 * rng.normal(size=(W, L)))).astype(jnp.float32)

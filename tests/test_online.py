@@ -112,11 +112,23 @@ def test_prefilled_ring_buffer():
     assert int(result.n_buffer) == n0  # ring: fill never changes
 
 
-def test_weights_init_policies():
-    """'random' re-initializes before each meta adaptation; 'meta_training'
-    restores the provided checkpoint params (trainer.py:356-366)."""
+def _trees_equal(a, b) -> bool:
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    return len(la) == len(lb) and all(
+        np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(la, lb))
+
+
+def test_weights_init_meta_training_restores_sentinel_exactly():
+    """ORACLE for weights_init='meta_training' (trainer.py:356-366): every
+    meta adaptation must start from exactly `meta_init_params`. With a
+    zero-lr SGD outer optimizer the adaptation itself is a no-op, so the
+    engine's final params must BE the transplanted sentinel pytree — an
+    engine that silently ignored meta_init_params would return the initial
+    params instead (the regression VERDICT r4 weak-#6 called out)."""
     cfg = tiny_cfg(self_supervised=False, online_meta=True, ser_thresh=1.0,
-                   weights_init="random", meta_subframes=3)
+                   weights_init="meta_training", meta_subframes=3,
+                   optimizer_type="SGD", lr=0.0)
     tx, rx, h = make_inputs(cfg)
     spec = DETECTORS["meta_vnet"]
     loss_fn = make_loss_fn(spec.score, "states", cfg.memory_length, False, 8)
@@ -125,18 +137,39 @@ def test_weights_init_policies():
         init_fn=lambda k: viterbinet.init_params(k, cfg.n_states),
     )
     params = viterbinet.init_params(jax.random.PRNGKey(1), cfg.n_states)
-    r = engine(params, tx, rx, h, jax.random.PRNGKey(2))
+    sentinel = viterbinet.init_params(jax.random.PRNGKey(9), cfg.n_states)
+    assert not _trees_equal(params, sentinel)
+    r = engine(params, tx, rx, h, jax.random.PRNGKey(2),
+               meta_init_params=sentinel)
+    # at least one meta event fired (counts 3/6/9, buffer >2 by then), and
+    # zero-lr adaptation preserved the restored weights bit-exactly
+    assert _trees_equal(r.params, sentinel)
     assert np.all(np.isfinite(np.asarray(r.ser_by_word)))
 
-    cfg2 = cfg.replace(weights_init="meta_training")
-    engine2 = make_online_engine(
-        cfg2, spec.detect, loss_fn,
+
+def test_weights_init_random_redraws_per_adaptation_event():
+    """ORACLE for weights_init='random' (trainer.py:356-366): each meta
+    adaptation re-initializes from a FRESH key. With zero-lr SGD the final
+    params equal init_fn(key of the LAST event); truncating the word stream
+    (2 events instead of 3) must therefore change the final params — it
+    would not if the engine reused one constant init key, and the final
+    params would equal the inputs if 'random' were ignored entirely."""
+    cfg = tiny_cfg(self_supervised=False, online_meta=True, ser_thresh=1.0,
+                   weights_init="random", meta_subframes=3,
+                   optimizer_type="SGD", lr=0.0)
+    tx, rx, h = make_inputs(cfg)
+    spec = DETECTORS["meta_vnet"]
+    loss_fn = make_loss_fn(spec.score, "states", cfg.memory_length, False, 8)
+    engine = make_online_engine(
+        cfg, spec.detect, loss_fn,
         init_fn=lambda k: viterbinet.init_params(k, cfg.n_states),
     )
-    meta_init = viterbinet.init_params(jax.random.PRNGKey(9), cfg.n_states)
-    r2 = engine2(params, tx, rx, h, jax.random.PRNGKey(2),
-                 meta_init_params=meta_init)
-    assert np.all(np.isfinite(np.asarray(r2.ser_by_word)))
+    params = viterbinet.init_params(jax.random.PRNGKey(1), cfg.n_states)
+    r_full = engine(params, tx, rx, h, jax.random.PRNGKey(2))      # events @ 3,6,9
+    r_cut = engine(params, tx[:8], rx[:8], h[:8], jax.random.PRNGKey(2))  # @ 3,6
+    assert not _trees_equal(r_full.params, params)   # a re-init happened
+    assert not _trees_equal(r_full.params, r_cut.params)  # fresh key per event
+    assert np.all(np.isfinite(np.asarray(r_full.ser_by_word)))
 
 
 def test_sorted_unique_mask_matches_numpy_unique():

@@ -41,10 +41,12 @@ def test_va_coded_ber_matches_reference_band():
 
 def test_vnet_joint_by_word_matches_reference_band(tmp_path):
     """Full by-word protocol anchor: train-on-miss (fresh weights dir, so the
-    Trainer trains a ViterbiNet on the type-1 synthetic channel) + the full
-    300-block by-word eval on the type-2 test channel, against the recorded
-    reference campaign (by_word_campaign_snr10). ~20 s on CPU — runs in the
-    default suite (VERDICT r1 item 6)."""
+    Trainer trains a ViterbiNet on time_decay train words at the configured
+    fading type 2 — the reference's effective behavior, see
+    Trainer.load_weights) + the full 300-block by-word eval on the type-2
+    test channel, against the recorded reference campaign
+    (by_word_campaign_snr10). ~20 s on CPU — runs in the default suite
+    (VERDICT r1 item 6)."""
     refs = BASELINES["by_word_campaign_snr10"]["mean_data_ber"]["vnet_joint"]["ref"]
     ref = float(np.mean([r for r in refs if r is not None]))
     cfg = Config(use_ecc=True, n_symbols=2, val_frames=12, eval_mode="by_word",

@@ -41,6 +41,17 @@ def test_vnet_train_improves_and_checkpoints(tmp_path):
     ser_restored = t2.single_eval_at_point(restored, 10.0, cfg.gamma)
     # same weights, same protocol -> statistically close SER
     assert abs(ser_restored - ser_trained) < 0.1
+    # config provenance: saving wrote the RESOLVED config beside the
+    # checkpoints (reference trainer.py:132), and it round-trips to the
+    # exact Config that produced them
+    import os
+
+    import yaml
+
+    prov = os.path.join(t.weights_dir, "config.yaml")
+    assert os.path.isfile(prov)
+    with open(prov) as f:
+        assert Config(**yaml.safe_load(f)) == cfg
 
 
 def test_checkpoint_round_trips_opt_state(tmp_path):
