@@ -90,15 +90,15 @@ class Config:
     # with the plain kernel needs decode_overlap >= trellis forgetting depth
     # (~8*memory_length); asserted in tests and measured on-chip
     # (resources/kernel_dispatch.json eval_width_occupancy).
-    eval_two_step: bool = False  # opt-in: compose consecutive ACS steps into
+    eval_two_step: Optional[bool] = None  # compose consecutive ACS steps into
     # one (min,+) routing matmul inside the fused kernel (serial chain
-    # 136 -> 68). Bit-exact vs the plain kernel by construction; +23%
-    # device-side at the 384-word eval width without overlap-save's
-    # redundant warm-up work (resources/kernel_dispatch.json
-    # two_step_compaction). Composes with eval_time_chunks. Applies to the
-    # vnet-family kernel only: the VA kernel ALWAYS runs two-step under
-    # use_pallas (bit-exact, +35% at its protocol-width-only eval batches —
-    # detectors.with_pallas_detect), so False cannot disable it there.
+    # 136 -> 68). Bit-exact vs the plain kernel by construction
+    # (resources/kernel_dispatch.json two_step_compaction). None = auto:
+    # ON for the VA kernel (+35% at its protocol-width-only eval batches),
+    # OFF for the vnet-family kernel (its default dispatch is the wide-batch
+    # throughput path, where the 4x routing FLOPs would regress; +23% at the
+    # 384-word eval width when opted in). True/False force either kernel.
+    # Composes with eval_time_chunks.
     buffer_capacity: int = 300  # fixed ring-buffer capacity for the fused online loop
     weights_dir: Optional[str] = None
 

@@ -93,7 +93,7 @@ _MODEL_OF = {"vnet": viterbinet, "meta_vnet": viterbinet,
 def with_pallas_detect(spec: DetectorSpec, time_chunks: int = 0,
                        overlap: int = 32,
                        memory_length: int = 4,
-                       two_step: bool = False) -> DetectorSpec:
+                       two_step: Optional[bool] = None) -> DetectorSpec:
     """Specialize a spec to the fused Pallas metric+ACS kernel for batch
     detection (Config.use_pallas; None = auto-on for TPU): the MLP-metric
     kernel for the vnet family, the analytic-metric kernel for va
@@ -122,17 +122,19 @@ def with_pallas_detect(spec: DetectorSpec, time_chunks: int = 0,
     (min,+) routing matmul (serial chain T -> T/2; bit-exact by
     construction) — +23% device-side at the 384-word eval width, composable
     with time_chunks (resources/kernel_dispatch.json two_step_compaction).
+    None = auto: ON for the VA kernel, OFF for the vnet family.
     """
     if spec.name == "va":
         # full-CSI VA: analytic Gaussian priors fused into the ACS kernel
         # (kernels/acs.py::fused_va_detect) — no [W,T,S] prior tensor in HBM.
-        # two_step defaults ON for VA: its batch eval is always protocol-
-        # width (300-word batches), where halving the serial chain wins
-        # +35% on-chip (149 vs 111 M sym/s at the 1920-lane sweep width,
-        # bit-exact); VA has no wide-batch throughput path that the 4x
-        # routing FLOPs could regress.
+        # two_step auto-resolves ON for VA: its batch eval is always
+        # protocol-width (300-word batches), where halving the serial chain
+        # wins +35% on-chip (149 vs 111 M sym/s at the 1920-lane sweep
+        # width, bit-exact); VA has no wide-batch throughput path that the
+        # 4x routing FLOPs could regress.
         from metaviterbinet_tpu.kernels.acs import LANE_W, fused_va_detect
         from metaviterbinet_tpu.models.va import state_symbols
+        va_two_step = True if two_step is None else two_step
 
         def va_detect(params, y, h):
             W, T = y.shape
@@ -141,7 +143,7 @@ def with_pallas_detect(spec: DetectorSpec, time_chunks: int = 0,
                                                h.shape[-1])).T
             bits = fused_va_detect(jnp.pad(y, ((0, Wp - W), (0, 0))),
                                    jnp.pad(mu, ((0, Wp - W), (0, 0))),
-                                   two_step=True)
+                                   two_step=va_two_step)
             return bits[:W].astype(y.dtype)
 
         from dataclasses import replace
@@ -150,6 +152,7 @@ def with_pallas_detect(spec: DetectorSpec, time_chunks: int = 0,
         return spec
     from metaviterbinet_tpu.kernels.acs import (
         LANE_W, fused_viterbinet_detect, fused_viterbinet_detect_chunked)
+    two_step = False if two_step is None else two_step
 
     if time_chunks > 1 and overlap < 8 * memory_length:
         import warnings
