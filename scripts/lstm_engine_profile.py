@@ -44,7 +44,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--detector", default="lstm", choices=["lstm", "meta_lstm"])
+    ap.add_argument("--detector", default="lstm",
+                    choices=["lstm", "meta_lstm", "vnet", "meta_vnet"])
     ap.add_argument("--mode", default=None, choices=[None, "online", "meta"])
     ap.add_argument("--ckpt", default=None,
                     help="weights dir holding snr_11.0_gamma_0.2.msgpack")
@@ -69,7 +70,8 @@ def main():
     from metaviterbinet_tpu.ops.channel import estimate_channel_batch
     from metaviterbinet_tpu.train.losses import make_loss_fn
 
-    mode = args.mode or ("meta" if args.detector == "meta_lstm" else "online")
+    mode = args.mode or (
+        "meta" if args.detector.startswith("meta_") else "online")
 
     def build(self_supervised, online_meta, thresh, dtype="float32"):
         cfg = Config(use_ecc=True, n_symbols=2, val_frames=12,
@@ -150,8 +152,8 @@ def main():
             if mode == "meta" else None,
         }), flush=True)
 
-    if args.quick:
-        return
+    if args.quick or args.detector in ("vnet", "meta_vnet"):
+        return  # the scan-structure/bf16 levers are LSTM-specific
 
     # ---- 2. lever matrix on the protocol engine -----------------------------
     ss, om, th = (True, mode == "meta", 0.02)
