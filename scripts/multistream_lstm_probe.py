@@ -161,7 +161,7 @@ def main():
               "chunked_fallback": []}
     print(json.dumps(report["footprint"]), flush=True)
     first_fail = None
-    n = 2
+    n = 8
     while n <= args.max:
         res = run_child(n)
         print(json.dumps(res), flush=True)

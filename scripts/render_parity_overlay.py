@@ -51,11 +51,12 @@ STYLE_KEY = {
 
 
 def load_cells() -> dict:
-    """Merge r3 + r4 parity matrices: {(det,mode,channel,snr): point-dict}."""
+    """Merge r3 + r4 + r5 parity matrices (later rounds win at overlapping
+    cells — r5 cells are re-runs at HEAD): {(det,mode,channel,snr): point}."""
     with open(os.path.join(RES, "reference_baselines.json")) as f:
         base = json.load(f)
     merged = {}
-    for mat in ("r3_parity_matrix", "r4_parity_matrix"):
+    for mat in ("r3_parity_matrix", "r4_parity_matrix", "r5_parity_matrix"):
         for name, cell in base.get(mat, {}).get("cells", {}).items():
             ch = cell["channel"]
             det_mode = name[: -len(f"_{ch}")] if name.endswith(f"_{ch}") else name
